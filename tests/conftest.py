@@ -1,0 +1,22 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+Multi-chip behavior (data-parallel psum, eval all_gather) is exercised on a
+virtual CPU mesh exactly as the driver's dryrun does; real-TPU benches live in
+bench.py, not in the test suite.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

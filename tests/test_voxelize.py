@@ -1,0 +1,89 @@
+"""Voxelizer parity against a numpy hash-table oracle."""
+import numpy as np
+import jax.numpy as jnp
+
+from cmtcoop_tpu.ops.voxelize import voxelize, hard_simple_vfe
+
+VS = (0.4, 0.4, 0.5)
+PCR = (-4.0, -4.0, -1.0, 4.0, 4.0, 1.0)
+GRID = (20, 20, 4)  # X, Y, Z
+
+
+def _oracle(points, mask, max_points, max_voxels):
+    """Hash-table hard voxelizer in the spirit of spconv PointToVoxel."""
+    table = {}
+    order_of_voxel = []
+    for i in range(len(points)):
+        if not mask[i]:
+            continue
+        g = np.floor((points[i, :3] - np.array(PCR[:3])) /
+                     np.array(VS)).astype(int)
+        if (g < 0).any() or (g >= np.array(GRID)).any():
+            continue
+        key = (g[2], g[1], g[0])
+        if key not in table:
+            if len(table) >= max_voxels:
+                continue
+            table[key] = []
+            order_of_voxel.append(key)
+        if len(table[key]) < max_points:
+            table[key].append(points[i])
+    return table
+
+
+def test_voxelize_matches_oracle(rng):
+    n, f = 2000, 5
+    pts = rng.uniform(-5, 5, (n, f)).astype(np.float32)
+    mask = rng.uniform(size=n) > 0.1
+    out = voxelize(
+        jnp.asarray(pts), jnp.asarray(mask), voxel_size=VS, pc_range=PCR,
+        grid_size=GRID, max_points=5, max_voxels=512)
+    table = _oracle(pts, mask, max_points=5, max_voxels=512)
+
+    vmask = np.asarray(out.mask)
+    coords = np.asarray(out.coords)
+    voxels = np.asarray(out.voxels)
+    npts = np.asarray(out.num_points)
+
+    got_keys = {tuple(c) for c in coords[vmask]}
+    assert got_keys == set(table.keys())
+    for i in np.where(vmask)[0]:
+        key = tuple(coords[i])
+        oracle_pts = np.stack(table[key])
+        assert npts[i] == len(oracle_pts)
+        # same point multiset (order within voxel may differ)
+        ours = voxels[i, :npts[i]]
+        ours_sorted = ours[np.lexsort(ours.T)]
+        oracle_sorted = oracle_pts[np.lexsort(oracle_pts.T)]
+        np.testing.assert_allclose(ours_sorted, oracle_sorted, rtol=1e-6)
+    # empty slots zeroed
+    assert np.all(voxels[~vmask] == 0)
+    assert np.all(coords[~vmask] == -1)
+
+
+def test_vfe_mean(rng):
+    n = 500
+    pts = rng.uniform(-4, 4, (n, 5)).astype(np.float32)
+    mask = np.ones(n, bool)
+    out = voxelize(
+        jnp.asarray(pts), jnp.asarray(mask), voxel_size=VS, pc_range=PCR,
+        grid_size=GRID, max_points=8, max_voxels=256)
+    feats = np.asarray(hard_simple_vfe(out))
+    vmask = np.asarray(out.mask)
+    voxels = np.asarray(out.voxels)
+    npts = np.asarray(out.num_points)
+    for i in np.where(vmask)[0]:
+        np.testing.assert_allclose(
+            feats[i], voxels[i, :npts[i]].mean(0), rtol=1e-5, atol=1e-6)
+    assert np.all(feats[~vmask] == 0)
+
+
+def test_voxelize_cap_points(rng):
+    # 100 identical points -> one voxel with num_points == cap
+    pts = np.tile(np.array([[0.1, 0.1, 0.1, 1.0, 2.0]], np.float32),
+                  (100, 1))
+    out = voxelize(
+        jnp.asarray(pts), jnp.ones(100, bool), voxel_size=VS, pc_range=PCR,
+        grid_size=GRID, max_points=10, max_voxels=64)
+    assert int(np.asarray(out.mask).sum()) == 1
+    assert int(np.asarray(out.num_points).max()) == 10
