@@ -1,0 +1,115 @@
+"""Shared flax building blocks (NHWC, TPU-friendly layouts).
+
+Conventions:
+- images / BEV maps are NHWC (channels-last — XLA's preferred TPU layout);
+  the reference's NCHW tensors map 1:1.
+- `dtype` is the compute dtype (bfloat16 on TPU for the conv towers),
+  `param_dtype` stays float32.
+- BatchNorm momentum uses the flax convention: flax_momentum = 1 - torch_momentum.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ConvBNReLU(nn.Module):
+    """Conv2d(bias=False) + BatchNorm + optional ReLU, torch-equivalent."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    groups: int = 1
+    use_relu: bool = True
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.9  # = 1 - torch 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features, self.kernel_size, self.strides,
+            padding=self.padding, feature_group_count=self.groups,
+            use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=self.bn_momentum,
+            epsilon=self.bn_eps, dtype=self.dtype)(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over the valid rows of a padded (N, C) feature array.
+
+    The reference's sparse encoder runs torch BN1d over only the active
+    voxels (spconv stores a dense (n_active, C) feature matrix); with padded
+    static shapes the padding rows must not pollute the statistics.
+    """
+    epsilon: float = 1e-3
+    momentum: float = 0.99  # = 1 - torch 0.01
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 train: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        if train:
+            m = mask.reshape(-1).astype(jnp.float32)
+            xf = x.reshape(-1, c).astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(xf * m[:, None], axis=0) / cnt
+            var = jnp.sum(((xf - mean) ** 2) * m[:, None], axis=0) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean)
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return (y * mask[..., None]).astype(self.dtype)
+
+
+class MLP(nn.Module):
+    """Linear -> ReLU -> Linear (query/bev/rv embedding MLPs,
+    cmt_head.py:292-302)."""
+    hidden: int
+    out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out, dtype=self.dtype)(x)
+
+
+class FFN(nn.Module):
+    """mmcv FFN: Linear -> ReLU -> drop -> Linear -> drop -> +identity."""
+    hidden: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Dense(x.shape[-1], dtype=self.dtype)(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return identity + y
+

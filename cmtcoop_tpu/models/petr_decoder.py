@@ -1,0 +1,118 @@
+"""DETR-style decoder stack (PETRTransformerDecoder rebuild).
+
+Reference: models/utils/petr_transformer.py — layer op order
+('self_attn','norm','cross_attn','norm','ffn','norm') with post-LN, shared
+final post_norm applied to every intermediate output (return_intermediate),
+PE added to q/k but not v, identity residual taken before PE
+(petr_transformer.py:137-177, 325-371, 374-487).
+
+Unlike the reference (which needs two attention impls because flash-attn
+0.2.2 can't mask), both attentions here route through `ops.attention.attend`:
+the DN self-attention mask is an additive bias, the cross-attention KV
+padding is a per-key bias eligible for the Pallas flash path.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cmtcoop_tpu.models.layers import FFN
+from cmtcoop_tpu.ops.attention import attend
+
+
+class MultiheadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-equivalent projections around `attend`."""
+    embed_dims: int
+    num_heads: int
+    impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, bias=None, k_bias=None):
+        b, nq, c = q.shape
+        h = self.num_heads
+        dh = c // h
+
+        def split(x):
+            return x.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)
+
+        qh = split(nn.Dense(c, dtype=self.dtype, name="q_proj")(q))
+        kh = split(nn.Dense(c, dtype=self.dtype, name="k_proj")(k))
+        vh = split(nn.Dense(c, dtype=self.dtype, name="v_proj")(v))
+        out = attend(qh, kh, vh, bias=bias, k_bias=k_bias, impl=self.impl)
+        out = out.transpose(0, 2, 1, 3).reshape(b, nq, c)
+        return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+
+
+class PETRDecoderLayer(nn.Module):
+    embed_dims: int = 256
+    num_heads: int = 8
+    feedforward_channels: int = 1024
+    dropout: float = 0.1
+    train_mode: bool = False
+    cross_impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, memory, query_pos, memory_pos,
+                 self_attn_bias, memory_k_bias):
+        train = self.train_mode
+        # --- self attention (DN mask as additive bias) ---
+        identity = query
+        q = query + query_pos
+        out = MultiheadAttention(
+            self.embed_dims, self.num_heads, "xla", self.dtype,
+            name="self_attn")(q, q, query, bias=self_attn_bias)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        query = nn.LayerNorm(dtype=self.dtype, name="norm1")(identity + out)
+
+        # --- cross attention over the fused token memory ---
+        identity = query
+        q = query + query_pos
+        k = memory + memory_pos
+        out = MultiheadAttention(
+            self.embed_dims, self.num_heads, self.cross_impl, self.dtype,
+            name="cross_attn")(q, k, memory, k_bias=memory_k_bias)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        query = nn.LayerNorm(dtype=self.dtype, name="norm2")(identity + out)
+
+        # --- FFN ---
+        query = FFN(self.feedforward_channels, 0.0, self.dtype,
+                    name="ffn")(query, train=train)
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(query)
+
+
+class PETRTransformerDecoder(nn.Module):
+    """num_layers decoder stack returning all intermediate outputs
+    (num_layers, B, Nq, C), each passed through the shared post_norm."""
+    num_layers: int = 6
+    embed_dims: int = 256
+    num_heads: int = 8
+    feedforward_channels: int = 1024
+    dropout: float = 0.1
+    remat: bool = True
+    train_mode: bool = False
+    cross_impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, memory, query_pos, memory_pos,
+                 self_attn_bias=None, memory_k_bias=None):
+        post_norm = nn.LayerNorm(dtype=self.dtype, name="post_norm")
+        layer_cls = PETRDecoderLayer
+        if self.remat and self.train_mode:
+            # per-layer rematerialization = the reference's with_cp
+            # (petr_transformer.py:463-474)
+            layer_cls = nn.remat(PETRDecoderLayer)
+        intermediates = []
+        for i in range(self.num_layers):
+            query = layer_cls(
+                self.embed_dims, self.num_heads, self.feedforward_channels,
+                self.dropout, self.train_mode, self.cross_impl, self.dtype,
+                name=f"layer{i}")(
+                    query, memory, query_pos, memory_pos, self_attn_bias,
+                    memory_k_bias)
+            intermediates.append(post_norm(query))
+        return jnp.stack(intermediates, axis=0)

@@ -1,0 +1,141 @@
+"""Attention kernels: XLA reference path + Pallas flash path.
+
+The reference splits attention across two implementations because
+flash-attn 0.2.2 cannot take masks (models/utils/attention.py:30-138,
+petr_transformer.py:37-321): standard cuDNN MHA for DN-masked self-attention
+and flash attention for the 900-query x ~50k-token cross-attention. Our
+Pallas kernel supports an additive bias, unifying both paths (SURVEY §7.3 #5).
+
+All functions take `q, k, v` of shape (B, H, N, Dh) and return (B, H, Nq, Dh).
+`bias` is additive, broadcastable to (B, H, Nq, Nk); use -inf (or a large
+negative) for blocked positions.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def mha_reference(q, k, v, bias: Optional[jnp.ndarray] = None):
+    """Plain XLA softmax attention (numerics oracle + small-N path)."""
+    dh = q.shape[-1]
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(dh)
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, sm_scale, block_k, kv_len):
+    """One (batch*head, q-block) program: stream KV blocks with online
+    softmax. kmask is a per-key additive bias row (encodes KV padding)."""
+    kv_idx = pl.program_id(2)
+    is_first = kv_idx == 0
+
+    @pl.when(is_first)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)           # (bq, d)
+    k = k_ref[0].astype(jnp.float32)           # (bk, d)
+    v = v_ref[0].astype(jnp.float32)           # (bk, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale  # (bq, bk)
+    s = s + kmask_ref[0][None, :]
+
+    m_prev = m_scr[:]                           # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(
+            o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
+                           block_k: int = 1024):
+    """Flash attention with a per-key additive bias (KV padding mask).
+
+    Covers the reference's cross-attention use case (padding-only masking)
+    with O(Nq*Dh) VMEM. Shapes: q (B,H,Nq,Dh), k/v (B,H,Nk,Dh),
+    k_bias (B, Nk) additive (0 or NEG_INF).
+    """
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    assert nq % block_q == 0 and nk % block_k == 0, (nq, nk)
+    bh = b * h
+    qr = q.reshape(bh, nq, d)
+    kr = k.reshape(bh, nk, d)
+    vr = v.reshape(bh, nk, d)
+    biasr = jnp.broadcast_to(
+        k_bias[:, None, :], (b, h, nk)).reshape(bh, nk).astype(jnp.float32)
+
+    grid = (bh, nq // block_q, nk // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, sm_scale=1.0 / math.sqrt(d), block_k=block_k,
+            kv_len=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, block_k), lambda b_, i, j: (b_, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(qr, kr, vr, biasr)
+    return out.reshape(b, h, nq, d)
+
+
+def attend(q, k, v, bias=None, k_bias=None, impl: str = "auto"):
+    """Dispatch: Pallas flash for long-KV padding-masked attention, XLA
+    reference otherwise (e.g. DN-masked self-attention, 2D bias)."""
+    nk = k.shape[2]
+    use_flash = (
+        impl == "flash"
+        or (impl == "auto" and bias is None and nk >= 4096
+            and nk % 1024 == 0 and q.shape[2] % 128 == 0
+            and jax.default_backend() == "tpu")
+    )
+    if use_flash:
+        if k_bias is None:
+            k_bias = jnp.zeros(q.shape[:1] + (nk,), jnp.float32)
+        return flash_attention_kvmask(q, k, v, k_bias)
+    if k_bias is not None:
+        kb = k_bias[:, None, None, :]
+        bias = kb if bias is None else bias + kb
+    return mha_reference(q, k, v, bias)
