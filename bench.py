@@ -1,0 +1,84 @@
+"""Benchmark: flagship CMTCoop multimodal batch-1 inference FPS on TPU.
+
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's headline FPS for CMT fusion
+(voxel0075_vov_1600x640, A100, README.md:256) = 6.4 FPS; the BASELINE.json
+north star asks for >=2x that on a single v5e chip for the *cooperative*
+multimodal model (two agents = roughly twice the work of the A100 row).
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--points", type=int, default=150000)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--modality", default="fusion",
+                    choices=["fusion", "lidar", "camera"])
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from cmtcoop_tpu.models.detector import CmtCoopDetector
+    from __graft_entry__ import _coop_batch
+
+    dtype = dict(bfloat16=jnp.bfloat16, float32=jnp.float32)[args.dtype]
+    use_lidar = args.modality in ("fusion", "lidar")
+    use_camera = args.modality in ("fusion", "camera")
+    model = CmtCoopDetector(
+        use_lidar=use_lidar, use_camera=use_camera,
+        extractor_kwargs=dict(max_voxels=120000),
+        head_kwargs=dict(max_gt=128),
+        dtype=dtype,
+    )
+    batch = _coop_batch(
+        batch_size=1, n_points=args.points, veh_views=1, infra_views=3,
+        img_hw=(640, 1600))
+    if not use_camera:
+        batch = {k: v for k, v in batch.items() if "img" not in k}
+    if not use_lidar:
+        batch = {k: v for k, v in batch.items() if "points" not in k}
+
+    t0 = time.time()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    jax.block_until_ready(variables)
+    print(f"# init: {time.time() - t0:.1f}s", flush=True)
+
+    @jax.jit
+    def forward(variables, batch):
+        (task_outs, _), _ = model.apply(
+            variables, batch, mutable=["batch_stats"])
+        return task_outs
+
+    t0 = time.time()
+    out = forward(variables, batch)
+    jax.block_until_ready(out)
+    print(f"# first forward (compile): {time.time() - t0:.1f}s", flush=True)
+
+    for _ in range(args.warmup):
+        jax.block_until_ready(forward(variables, batch))
+    t0 = time.time()
+    for _ in range(args.iters):
+        jax.block_until_ready(forward(variables, batch))
+    dt = (time.time() - t0) / args.iters
+    fps = 1.0 / dt
+
+    baseline_fps = 6.4  # reference A100 CMT fusion val FPS (README.md:256)
+    print(json.dumps({
+        "metric": f"cmtcoop_{args.modality}_b1_fps_v5e",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Model/config presets: the reference's 13-config matrix, data-driven.
+
+The reference's user API is 13 mmcv config files
+(projects/configs/CMTCoop_TUMTraf/{camera,lidar,fusion}/{vehicle,infra,coop}
++ CMT_Nuscenes/*, SURVEY §2.1 #39). Here each operating point is a
+`Preset` built from (domain, modality, dataset family).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+TUMTRAF_CLASSES = (
+    "CAR", "TRAILER", "TRUCK", "VAN", "PEDESTRIAN", "BUS", "BICYCLE")
+NUSCENES_CLASSES = (
+    "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
+    "motorcycle", "bicycle", "pedestrian", "traffic_cone")
+NUSCENES_TASKS = (
+    ("car",), ("truck", "construction_vehicle"), ("bus", "trailer"),
+    ("barrier",), ("motorcycle", "bicycle"), ("pedestrian", "traffic_cone"))
+
+
+@dataclasses.dataclass
+class Preset:
+    name: str
+    domain: str                 # vehicle | infrastructure | coop
+    modality: str               # camera | lidar | fusion
+    class_names: Tuple[str, ...]
+    tasks: Tuple[Tuple[str, ...], ...]
+    pc_range: Tuple[float, ...]
+    voxel_size: Tuple[float, float, float]
+    grid_size: Tuple[int, int, int]
+    num_views: int              # cameras per agent
+    img_size: Tuple[int, int]   # (H, W) after ida + pad
+    max_points: int = 300000
+    max_voxels_train: int = 120000
+    max_voxels_eval: int = 160000
+    max_gt: int = 128
+    dn_groups: int = 5
+    total_epochs: int = 20
+    base_lr: float = 1e-4
+    samples_per_gpu: int = 1
+    # dataset
+    dataset: str = "a9coop"     # a9coop | a9nusc | a9kitti | nuscenes
+    ann_prefix: str = "a9_nusc_coop_infos"
+    img_norm_mean: Tuple[float, float, float] = (103.530, 116.280, 123.675)
+    img_norm_std: Tuple[float, float, float] = (57.375, 57.120, 58.395)
+    ida_resize_lim: Tuple[float, float] = (0.94, 1.25)
+    ida_final_dim: Tuple[int, int] = (640, 1600)
+
+    @property
+    def use_lidar(self) -> bool:
+        return self.modality in ("lidar", "fusion")
+
+    @property
+    def use_camera(self) -> bool:
+        return self.modality in ("camera", "fusion")
+
+    @property
+    def agents(self) -> Tuple[str, ...]:
+        if self.domain == "coop":
+            return ("vehicle", "infrastructure")
+        return (self.domain,)
+
+    def extractor_kwargs(self, train: bool = False) -> Dict[str, Any]:
+        return dict(
+            voxel_size=self.voxel_size,
+            pc_range=self.pc_range,
+            grid_size=self.grid_size,
+            max_voxels=(self.max_voxels_train if train
+                        else self.max_voxels_eval),
+        )
+
+    def head_kwargs(self) -> Dict[str, Any]:
+        return dict(
+            tasks=self.tasks,
+            max_gt=self.max_gt,
+            dn_groups=self.dn_groups,
+        )
+
+
+def tumtraf_preset(domain: str, modality: str, **over) -> Preset:
+    """TUMTraf presets (coop config:1-30): pc [-72..72]x[-8..0] @ voxel
+    (0.1, 0.1, 0.2) -> grid 1440x1440x40, ida final (640, 1600)."""
+    base = dict(
+        name=f"cmt_{modality}_{domain}_tumtraf",
+        domain=domain, modality=modality,
+        class_names=TUMTRAF_CLASSES, tasks=(TUMTRAF_CLASSES,),
+        pc_range=(-72.0, -72.0, -8.0, 72.0, 72.0, 0.0),
+        voxel_size=(0.1, 0.1, 0.2), grid_size=(1440, 1440, 40),
+        num_views=1 if domain == "vehicle" else 3,
+        img_size=(640, 1600),
+        dataset="a9coop" if domain == "coop" else "a9nusc",
+        ann_prefix=("a9_nusc_coop_infos" if domain == "coop"
+                    else "a9_nusc_infos"),
+    )
+    base.update(over)
+    return Preset(**base)
+
+
+def nuscenes_preset(modality: str, **over) -> Preset:
+    """Original CMT nuScenes presets (CMT_Nuscenes configs): pc
+    [-54..54]x[-5..3] @ voxel 0.075 -> grid 1440x1440x40, 6 cams."""
+    base = dict(
+        name=f"cmt_{modality}_nuscenes",
+        domain="vehicle", modality=modality,
+        class_names=NUSCENES_CLASSES, tasks=NUSCENES_TASKS,
+        pc_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
+        voxel_size=(0.075, 0.075, 0.2), grid_size=(1440, 1440, 40),
+        num_views=6, img_size=(640, 1600),
+        dataset="nuscenes", ann_prefix="nuscenes_infos",
+    )
+    base.update(over)
+    return Preset(**base)
+
+
+def get_preset(name: str) -> Preset:
+    return PRESETS[name]
+
+
+PRESETS: Dict[str, Preset] = {}
+for _dom in ("vehicle", "infrastructure", "coop"):
+    for _mod in ("camera", "lidar", "fusion"):
+        _p = tumtraf_preset(_dom, _mod)
+        PRESETS[_p.name] = _p
+for _mod in ("camera", "lidar", "fusion"):
+    _p = nuscenes_preset(_mod)
+    PRESETS[_p.name] = _p

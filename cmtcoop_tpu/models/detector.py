@@ -1,0 +1,217 @@
+"""CMT detectors: single-agent and cooperative (vehicle + infrastructure).
+
+Rebuild of reference models/detectors/cmt.py:27-252 (CmtDetector) and
+models/detectors/cmt_coop.py:22-707 (CmtCoopDetector). The whole forward —
+voxelization included — is one jit-able function of fixed-shape batch dicts.
+
+Batch dict conventions (produced by `cmtcoop_tpu.data`):
+    points:       (B, N, 5) float32, zero-padded
+    points_mask:  (B, N) bool
+    imgs:         (B, V, H, W, 3) float32, normalized
+    lidar2img:    (B, V, 4, 4);  img2lidar: (B, V, 4, 4)
+    gt_boxes:     (B, G, 9) gravity-centered box9 (train only)
+    gt_labels:    (B, G) int32;  gt_mask: (B, G) bool
+Cooperative batches carry `vehicle_*` / `infrastructure_*` prefixes, with
+shared gt_* (in infrastructure coordinates, transforms_3d_coop.py:194-222).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cmtcoop_tpu.models.cmt_head import AgentInputs, CmtHead
+from cmtcoop_tpu.models.grid_mask import grid_mask
+from cmtcoop_tpu.models.second import SECOND, SECONDFPN
+from cmtcoop_tpu.models.sparse_encoder import SparseEncoder
+from cmtcoop_tpu.models.vovnet import CPFPN, VoVNet
+from cmtcoop_tpu.ops.voxelize import hard_simple_vfe, voxelize
+
+
+class FeatureExtractor(nn.Module):
+    """Headless per-agent feature extractor = CmtDetector without the head
+    (used standalone and as vehicle_model/infrastructure_model,
+    cmt_coop.py:45-49).
+
+    extract_img_feat: grid-mask -> VoVNet -> CPFPN (cmt.py:46-69), level 0.
+    extract_pts_feat: voxelize -> VFE -> SparseEncoder -> SECOND -> FPN
+    (cmt.py:71-113).
+    """
+    use_lidar: bool = True
+    use_camera: bool = True
+    # lidar path
+    voxel_size: Tuple[float, float, float] = (0.1, 0.1, 0.2)
+    pc_range: Tuple[float, ...] = (-72.0, -72.0, -8.0, 72.0, 72.0, 0.0)
+    grid_size: Tuple[int, int, int] = (1440, 1440, 40)  # (X, Y, Z)
+    max_points_per_voxel: int = 10
+    max_voxels: int = 120000
+    sparse_base_channels: int = 16
+    sparse_channels: Sequence[Sequence[int]] = (
+        (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
+    sparse_out_channels: int = 128
+    sparse_stage_caps: Sequence[int] = (60000, 60000, 60000, 60000)
+    second_channels: Sequence[int] = (128, 256)
+    second_layers: Sequence[int] = (5, 5)
+    fpn_channels: Sequence[int] = (256, 256)
+    # camera path
+    img_spec: str = "V-99-eSE"
+    img_out_features: Sequence[str] = ("stage4", "stage5")
+    neck_out_channels: int = 256
+    use_grid_mask: bool = True
+    train_mode: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.use_camera:
+            self.img_backbone = VoVNet(
+                self.img_spec, tuple(self.img_out_features),
+                dtype=self.dtype)
+            self.img_neck = CPFPN(
+                self.neck_out_channels, num_outs=2, dtype=self.dtype)
+        if self.use_lidar:
+            # sparse_shape z = grid_z + 1, matching the reference's
+            # [41, 1440, 1440] for a 40-cell z grid (config:245)
+            self.pts_middle_encoder = SparseEncoder(
+                sparse_shape=(
+                    self.grid_size[2] + 1, self.grid_size[1],
+                    self.grid_size[0]),
+                base_channels=self.sparse_base_channels,
+                encoder_channels=tuple(
+                    tuple(c) for c in self.sparse_channels),
+                output_channels=self.sparse_out_channels,
+                stage_caps=tuple(self.sparse_stage_caps),
+                dtype=self.dtype)
+            self.pts_backbone = SECOND(
+                tuple(self.second_channels), tuple(self.second_layers),
+                dtype=self.dtype)
+            self.pts_neck = SECONDFPN(
+                tuple(self.fpn_channels), dtype=self.dtype)
+
+    def extract_img_feat(self, imgs) -> jnp.ndarray:
+        b, v, h, w, c = imgs.shape
+        x = imgs.reshape(b * v, h, w, c).astype(self.dtype)
+        if self.use_grid_mask and self.train_mode:
+            x = grid_mask(self.make_rng("gridmask"), x)
+        feats = self.img_backbone(x, self.train_mode)
+        outs = self.img_neck(
+            [feats[k] for k in self.img_out_features], self.train_mode)
+        f0 = outs[0]  # stride-16 level feeds the head (cmt_head multi_apply
+        #               zips the single BEV level with img level 0)
+        return f0.reshape(b, v, *f0.shape[1:])
+
+    def extract_pts_feat(self, points, points_mask) -> jnp.ndarray:
+        vox = jax.vmap(
+            lambda p, m: voxelize(
+                p, m, voxel_size=tuple(self.voxel_size),
+                pc_range=tuple(self.pc_range),
+                grid_size=tuple(self.grid_size),
+                max_points=self.max_points_per_voxel,
+                max_voxels=self.max_voxels)
+        )(points, points_mask)
+        feats = jax.vmap(hard_simple_vfe)(vox)
+        bev = self.pts_middle_encoder(
+            feats, vox.coords, vox.mask, self.train_mode)
+        outs = self.pts_backbone(bev, self.train_mode)
+        return self.pts_neck(outs, self.train_mode)
+
+    def __call__(self, batch: Dict[str, jnp.ndarray],
+                 prefix: str = "") -> AgentInputs:
+        bev_feat = None
+        img_feats = None
+        lidar2img = batch.get(prefix + "lidar2img")
+        img2lidar = batch.get(prefix + "img2lidar")
+        pad_hw = None
+        if self.use_lidar:
+            bev_feat = self.extract_pts_feat(
+                batch[prefix + "points"], batch[prefix + "points_mask"])
+        if self.use_camera:
+            imgs = batch[prefix + "imgs"]
+            pad_hw = (imgs.shape[2], imgs.shape[3])
+            img_feats = self.extract_img_feat(imgs)
+        return AgentInputs(bev_feat, img_feats, lidar2img, img2lidar, pad_hw)
+
+
+class CmtDetector(nn.Module):
+    """Single-agent detector = extractor + CmtHead (cmt.py:27-252)."""
+    use_lidar: bool = True
+    use_camera: bool = True
+    extractor_kwargs: Any = None     # dict of FeatureExtractor overrides
+    head_kwargs: Any = None          # dict of CmtHead overrides
+    train_mode: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        ek = dict(self.extractor_kwargs or {})
+        hk = dict(self.head_kwargs or {})
+        self.extractor = FeatureExtractor(
+            use_lidar=self.use_lidar, use_camera=self.use_camera,
+            train_mode=self.train_mode, dtype=self.dtype, **ek)
+        hk.setdefault("in_channels", 512)
+        self.pts_bbox_head = CmtHead(
+            with_bev=self.use_lidar, with_rv=self.use_camera,
+            train_mode=self.train_mode, dtype=self.dtype,
+            pc_range=tuple(ek.get("pc_range", FeatureExtractor.pc_range)),
+            grid_size=tuple(
+                ek.get("grid_size", FeatureExtractor.grid_size)[:2]),
+            **hk)
+
+    def __call__(self, batch: Dict[str, jnp.ndarray]):
+        agent = self.extractor(batch)
+        return self.pts_bbox_head(
+            [agent],
+            gt_boxes=batch.get("gt_boxes"),
+            gt_labels=batch.get("gt_labels"),
+            gt_mask=batch.get("gt_mask"))
+
+
+class CmtCoopDetector(nn.Module):
+    """Cooperative detector: per-agent extractors (vehicle +
+    infrastructure) + shared coop head with decoder-output max fusion
+    (cmt_coop.py:22-707, cmt_head_coop.py:362-437).
+
+    `agents` selects which agents are live — ("vehicle",),
+    ("infrastructure",) or both; the head degrades gracefully to
+    single-agent exactly like the reference (cmt_head_coop.py:383-387).
+    """
+    use_lidar: bool = True
+    use_camera: bool = True
+    agents: Tuple[str, ...] = ("vehicle", "infrastructure")
+    extractor_kwargs: Any = None
+    head_kwargs: Any = None
+    train_mode: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        ek = dict(self.extractor_kwargs or {})
+        hk = dict(self.head_kwargs or {})
+        if "vehicle" in self.agents:
+            self.vehicle_model = FeatureExtractor(
+                use_lidar=self.use_lidar, use_camera=self.use_camera,
+                train_mode=self.train_mode, dtype=self.dtype, **ek)
+        if "infrastructure" in self.agents:
+            self.infrastructure_model = FeatureExtractor(
+                use_lidar=self.use_lidar, use_camera=self.use_camera,
+                train_mode=self.train_mode, dtype=self.dtype, **ek)
+        hk.setdefault("in_channels", 512)
+        self.pts_bbox_head = CmtHead(
+            with_bev=self.use_lidar, with_rv=self.use_camera,
+            train_mode=self.train_mode, dtype=self.dtype,
+            pc_range=tuple(ek.get("pc_range", FeatureExtractor.pc_range)),
+            grid_size=tuple(
+                ek.get("grid_size", FeatureExtractor.grid_size)[:2]),
+            **hk)
+
+    def __call__(self, batch: Dict[str, jnp.ndarray]):
+        agent_inputs = []
+        if "vehicle" in self.agents:
+            agent_inputs.append(self.vehicle_model(batch, "vehicle_"))
+        if "infrastructure" in self.agents:
+            agent_inputs.append(
+                self.infrastructure_model(batch, "infrastructure_"))
+        return self.pts_bbox_head(
+            agent_inputs,
+            gt_boxes=batch.get("gt_boxes"),
+            gt_labels=batch.get("gt_labels"),
+            gt_mask=batch.get("gt_mask"))

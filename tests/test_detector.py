@@ -1,0 +1,134 @@
+"""End-to-end detector smoke tests on tiny shapes (LiDAR, fusion, coop)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cmtcoop_tpu.models.detector import CmtCoopDetector, CmtDetector
+from cmtcoop_tpu.models.cmt_loss import cmt_loss
+
+TINY_EXTRACTOR = dict(
+    voxel_size=(1.0, 1.0, 0.25),
+    pc_range=(-8.0, -8.0, -5.0, 8.0, 8.0, 5.0),
+    grid_size=(16, 16, 40),
+    max_voxels=128,
+    sparse_base_channels=4,
+    sparse_channels=((4, 4, 8), (8, 8, 8), (8, 8, 16), (16, 16)),
+    sparse_out_channels=16,
+    sparse_stage_caps=(128, 128, 128, 128),
+    second_channels=(8, 16),
+    second_layers=(1, 1),
+    fpn_channels=(16, 16),
+    img_spec="V-19-slim-eSE",
+    neck_out_channels=32,
+)
+TINY_HEAD = dict(
+    num_query=32,
+    hidden_dim=32,
+    in_channels=32,
+    depth_num=8,
+    max_gt=4,
+    dn_groups=2,
+    num_decoder_layers=2,
+    num_heads=4,
+    feedforward_channels=64,
+    tasks=(("CAR", "TRUCK"), ("PEDESTRIAN",)),
+)
+
+
+def _lidar_batch(rng, b=2, n=256, g=4):
+    pts = rng.uniform(-8, 8, (b, n, 5)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-5, 5, (b, n))
+    batch = {
+        "points": jnp.asarray(pts),
+        "points_mask": jnp.ones((b, n), bool),
+    }
+    gt = np.zeros((b, g, 9), np.float32)
+    gt[..., :2] = rng.uniform(-6, 6, (b, g, 2))
+    gt[..., 2] = rng.uniform(-3, 3, (b, g))
+    gt[..., 3:6] = rng.uniform(0.5, 3, (b, g, 3))
+    gt[..., 6] = rng.uniform(-3, 3, (b, g))
+    labels = rng.integers(0, 3, (b, g))
+    mask = np.ones((b, g), bool)
+    mask[0, -1] = False
+    batch.update(
+        gt_boxes=jnp.asarray(gt), gt_labels=jnp.asarray(labels),
+        gt_mask=jnp.asarray(mask))
+    return batch
+
+
+def test_lidar_detector_eval(rng):
+    det = CmtDetector(
+        use_camera=False, extractor_kwargs=TINY_EXTRACTOR,
+        head_kwargs=TINY_HEAD)
+    batch = _lidar_batch(rng)
+    variables = det.init(jax.random.PRNGKey(0), batch)
+    (task_outs, dn_info), _ = det.apply(
+        batch=batch, variables=variables, mutable=["batch_stats"])
+    assert dn_info is None
+    assert len(task_outs) == 2
+    assert task_outs[0]["center"].shape == (2, 2, 32, 2)
+    assert task_outs[0]["cls_logits"].shape == (2, 2, 32, 2)
+    assert task_outs[1]["cls_logits"].shape == (2, 2, 32, 1)
+    for t in task_outs:
+        for v in t.values():
+            assert np.isfinite(np.asarray(v)).all()
+
+
+def test_lidar_detector_train_loss(rng):
+    det = CmtDetector(
+        use_camera=False, extractor_kwargs=TINY_EXTRACTOR,
+        head_kwargs=TINY_HEAD, train_mode=True)
+    batch = _lidar_batch(rng)
+    rngs = {"params": jax.random.PRNGKey(0), "dn": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2),
+            "gridmask": jax.random.PRNGKey(3)}
+    variables = det.init(rngs, batch)
+    (task_outs, dn_info), _ = det.apply(
+        variables, batch, mutable=["batch_stats"], rngs=rngs)
+    assert dn_info is not None and dn_info.pad_size == 8
+    assert task_outs[0]["center"].shape == (2, 2, 32, 2)
+    assert task_outs[0]["dn_center"].shape == (2, 2, 8, 2)
+    losses = cmt_loss(
+        task_outs, dn_info, batch["gt_boxes"], batch["gt_labels"],
+        batch["gt_mask"], tasks=TINY_HEAD["tasks"])
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert "loss_cls" in losses and "d0.dn_loss_bbox" in losses
+    assert float(losses["loss"]) > 0
+
+
+def _coop_fusion_batch(rng, b=1, n=128, v=2, g=3):
+    hw = (32, 64)
+    batch = {}
+    for prefix in ("vehicle_", "infrastructure_"):
+        pts = rng.uniform(-8, 8, (b, n, 5)).astype(np.float32)
+        batch[prefix + "points"] = jnp.asarray(pts)
+        batch[prefix + "points_mask"] = jnp.ones((b, n), bool)
+        imgs = rng.normal(size=(b, v, *hw, 3)).astype(np.float32)
+        batch[prefix + "imgs"] = jnp.asarray(imgs)
+        l2i = np.tile(np.eye(4, dtype=np.float32), (b, v, 1, 1))
+        l2i += rng.normal(size=l2i.shape).astype(np.float32) * 0.01
+        batch[prefix + "lidar2img"] = jnp.asarray(l2i)
+        batch[prefix + "img2lidar"] = jnp.asarray(np.linalg.inv(l2i))
+    gt = np.zeros((b, g, 9), np.float32)
+    gt[..., 3:6] = 1.0
+    batch.update(
+        gt_boxes=jnp.asarray(gt),
+        gt_labels=jnp.asarray(rng.integers(0, 3, (b, g))),
+        gt_mask=jnp.asarray(np.ones((b, g), bool)))
+    return batch
+
+
+@pytest.mark.slow
+def test_coop_fusion_detector(rng):
+    det = CmtCoopDetector(
+        extractor_kwargs=TINY_EXTRACTOR, head_kwargs=TINY_HEAD)
+    batch = _coop_fusion_batch(rng)
+    variables = det.init(jax.random.PRNGKey(0), batch)
+    (task_outs, dn_info), _ = det.apply(
+        variables, batch, mutable=["batch_stats"])
+    assert task_outs[0]["center"].shape == (2, 1, 32, 2)
+    for t in task_outs:
+        for val in t.values():
+            assert np.isfinite(np.asarray(val)).all()
