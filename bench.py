@@ -56,18 +56,21 @@ def main():
     def forward(variables, batch):
         (task_outs, _), _ = model.apply(
             variables, batch, mutable=["batch_stats"])
-        return task_outs
+        # reduce to a scalar so timing can force a host fetch —
+        # block_until_ready through the axon relay does not actually block
+        return sum(
+            jnp.sum(v.astype(jnp.float32))
+            for t in task_outs for v in t.values())
 
     t0 = time.time()
-    out = forward(variables, batch)
-    jax.block_until_ready(out)
+    float(forward(variables, batch))
     print(f"# first forward (compile): {time.time() - t0:.1f}s", flush=True)
 
     for _ in range(args.warmup):
-        jax.block_until_ready(forward(variables, batch))
+        float(forward(variables, batch))
     t0 = time.time()
     for _ in range(args.iters):
-        jax.block_until_ready(forward(variables, batch))
+        float(forward(variables, batch))
     dt = (time.time() - t0) / args.iters
     fps = 1.0 / dt
 

@@ -1,0 +1,93 @@
+"""Prefetching data loader (workers_per_gpu=6 DataLoader equivalent).
+
+Thread-pool workers run the numpy pipeline; a bounded queue keeps batches
+ready so the TPU step never waits on the host (SURVEY §7.3 #7). Threads (not
+processes) suffice because the heavy per-sample work — point decode, image
+resize, GT paste geometry — runs in numpy/PIL which release the GIL; the
+native C++ decode path (cmtcoop_tpu.data.native) removes the remaining
+Python overhead.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from cmtcoop_tpu.configs.presets import Preset
+from cmtcoop_tpu.data import formats
+from cmtcoop_tpu.data.datasets import (A9NuscCoopDataset, A9NuscDataset,
+                                       cbgs_indices)
+from cmtcoop_tpu.data.pipeline_builder import build_pipeline
+from cmtcoop_tpu.data.pipelines.dbsampler import DataBaseSampler
+
+
+class PrefetchLoader:
+    """Iterate batches assembled by worker threads, in a deterministic
+    order, `prefetch` batches ahead."""
+
+    def __init__(self, dataset, indices: np.ndarray, batch_size: int,
+                 num_workers: int = 6, prefetch: int = 4):
+        self.dataset = dataset
+        self.indices = indices
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.indices) // self.batch_size
+
+    def _make_batch(self, b: int) -> Dict[str, np.ndarray]:
+        idxs = self.indices[b * self.batch_size:(b + 1) * self.batch_size]
+        return formats.collate([self.dataset[int(i)] for i in idxs])
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_batches = len(self)
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            futures: "deque" = deque()
+            b = 0
+            inflight = self.prefetch + self.num_workers
+            while b < n_batches or futures:
+                while b < n_batches and len(futures) < inflight:
+                    futures.append(ex.submit(self._make_batch, b))
+                    b += 1
+                yield futures.popleft().result()
+
+
+def build_train_loader(preset: Preset, data_root: str, batch_size: int,
+                       num_workers: int = 6, seed: int = 0,
+                       use_cbgs: bool = True,
+                       db_sampler_cfg: Optional[dict] = None):
+    prefixes = (("vehicle_", "infrastructure_")
+                if preset.domain == "coop" else ("",))
+    db_sampler = None
+    if db_sampler_cfg:
+        db_sampler = DataBaseSampler(**db_sampler_cfg)
+    pipeline = build_pipeline(preset, training=True, prefixes=prefixes,
+                              db_sampler=db_sampler)
+    cls = A9NuscCoopDataset if preset.domain == "coop" else A9NuscDataset
+    ds = cls(
+        ann_file=f"{data_root}/{preset.ann_prefix}_train.pkl",
+        class_names=preset.class_names, pipeline=pipeline,
+        use_camera=preset.use_camera, use_lidar=preset.use_lidar)
+    rng = np.random.default_rng(seed)
+    indices = cbgs_indices(ds, rng) if use_cbgs else np.arange(len(ds))
+    rng.shuffle(indices)
+    loader = PrefetchLoader(ds, indices, batch_size, num_workers)
+    return loader, len(loader)
+
+
+def build_test_loader(preset: Preset, data_root: str, split: str = "val",
+                      batch_size: int = 1, num_workers: int = 6):
+    prefixes = (("vehicle_", "infrastructure_")
+                if preset.domain == "coop" else ("",))
+    pipeline = build_pipeline(preset, training=False, prefixes=prefixes)
+    cls = A9NuscCoopDataset if preset.domain == "coop" else A9NuscDataset
+    ds = cls(
+        ann_file=f"{data_root}/{preset.ann_prefix}_{split}.pkl",
+        class_names=preset.class_names, pipeline=pipeline, test_mode=True,
+        use_camera=preset.use_camera, use_lidar=preset.use_lidar)
+    loader = PrefetchLoader(ds, np.arange(len(ds)), batch_size, num_workers)
+    return ds, loader

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference tools/test.py:130-286 equivalent).
+
+    python tools/test.py cmt_fusion_coop_tumtraf CKPT_DIR \
+        --data-root data/a9_coop --split val --eval bbox
+"""
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("preset")
+    ap.add_argument("checkpoint", nargs="?", default=None,
+                    help="orbax checkpoint dir (optional: random init)")
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--eval", default="bbox")
+    ap.add_argument("--out", default=None, help="write detections json")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--max-samples", type=int, default=None)
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+    import jax
+    import jax.numpy as jnp
+    from cmtcoop_tpu.configs.presets import get_preset
+    from cmtcoop_tpu.core.coder import decode_boxes
+    from cmtcoop_tpu.data import formats
+    from cmtcoop_tpu.data.loader import build_test_loader
+    from cmtcoop_tpu.models.build import build_detector
+
+    preset = get_preset(args.preset)
+    dtype = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[args.dtype]
+    model = build_detector(preset, train=False, dtype=dtype)
+    ds, loader = build_test_loader(
+        preset, args.data_root, split=args.split)
+
+    example = None
+    for example in loader:
+        break
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
+    if args.checkpoint:
+        from cmtcoop_tpu.train.checkpoint import restore_checkpoint
+        restored = restore_checkpoint(args.checkpoint, None)
+        params = restored.get("params", restored) if isinstance(
+            restored, dict) else restored.params
+        variables = dict(variables)
+        variables["params"] = params
+
+    @jax.jit
+    def forward(variables, batch):
+        (task_outs, _), _ = model.apply(
+            variables, batch, mutable=["batch_stats"])
+        logits = [t["cls_logits"][-1] for t in task_outs]
+        codes = [jnp.concatenate(
+            [t["center"][-1], t["height"][-1], t["dim"][-1], t["rot"][-1],
+             t["vel"][-1]], axis=-1) for t in task_outs]
+        return logits, codes
+
+    preds = {}
+    n = 0
+    for i in range(len(ds)):
+        batch = formats.collate([ds[i]])
+        logits, codes = forward(variables, batch)
+        dec = decode_boxes([l[0] for l in logits], [c[0] for c in codes])
+        ts = ds.infos[i]["timestamp"]
+        preds[ts] = formats.decoded_to_eval_boxes(
+            dec, preset.class_names, ts)
+        n += 1
+        if args.max_samples and n >= args.max_samples:
+            break
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({str(k): v for k, v in preds.items()}, f)
+    if "bbox" in args.eval:
+        summary = ds.evaluate(preds)
+        print(json.dumps(summary["detail"], indent=2))
+        print(f"mAP: {summary['mean_ap']:.4f}  NDS: "
+              f"{summary['nd_score']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

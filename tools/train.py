@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Training CLI (tools/train.py equivalent, reference tools/train.py:116-289).
+
+    python tools/train.py cmt_fusion_coop_tumtraf --data-root data/a9_coop \
+        --work-dir runs/coop_fusion --epochs 20
+
+Multi-chip is a single process: batches shard over the local device mesh
+(the torch.distributed.launch/NCCL machinery is replaced by GSPMD).
+`--synthetic` trains on generated data for smoke/overfit runs.
+"""
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("preset", help="preset name, see cmtcoop_tpu.configs")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--work-dir", default=None)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="global batch (default: one per device)")
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="train on synthetic data (smoke test)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override total steps (synthetic mode)")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--load-from", default=None,
+                    help="orbax checkpoint dir for weights-only warm start")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--num-workers", type=int, default=6)
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    import jax
+    import jax.numpy as jnp
+    from cmtcoop_tpu.configs.presets import get_preset
+    from cmtcoop_tpu.models.build import build_detector
+    from cmtcoop_tpu.parallel.mesh import make_mesh
+    from cmtcoop_tpu.train.trainer import Trainer
+
+    preset = get_preset(args.preset)
+    work_dir = args.work_dir or f"runs/{preset.name}"
+    dtype = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[args.dtype]
+    mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    batch_size = args.batch_size or n_dev
+
+    model = build_detector(preset, train=True, dtype=dtype)
+
+    if args.synthetic:
+        from cmtcoop_tpu.data.synthetic import synthetic_batch_iter
+        total_steps = args.steps or 100
+        batches = synthetic_batch_iter(preset, batch_size, args.seed)
+        example = next(batches)
+    else:
+        from cmtcoop_tpu.data.loader import build_train_loader
+        loader, steps_per_epoch = build_train_loader(
+            preset, args.data_root, batch_size,
+            num_workers=args.num_workers, seed=args.seed)
+        total_steps = args.steps or steps_per_epoch * args.epochs
+        batches = iter(loader)
+        example = next(batches)
+
+    trainer = Trainer(
+        model, preset.tasks, total_steps=total_steps, work_dir=work_dir,
+        base_lr=args.lr, mesh=mesh,
+        ckpt_interval_steps=max(total_steps // args.epochs, 1),
+        seed=args.seed)
+    trainer.init_state(example)
+    if args.resume:
+        trainer.resume()
+    elif args.load_from:
+        from cmtcoop_tpu.train.checkpoint import restore_checkpoint
+        restored = restore_checkpoint(args.load_from, trainer.state)
+        trainer.load_params(restored.params)
+
+    def chain():
+        yield example
+        yield from batches
+
+    trainer.run(chain())
+    logging.info("training done: %d steps", int(trainer.state.step))
+
+
+if __name__ == "__main__":
+    main()
