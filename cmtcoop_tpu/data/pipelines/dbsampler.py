@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from cmtcoop_tpu.data import native
 from cmtcoop_tpu.data.pipelines import box_np
 from cmtcoop_tpu.data.pipelines.transforms import load_points_bin
 
@@ -72,9 +73,9 @@ class DataBaseSampler:
                 box = np.asarray(info["box3d_lidar"], np.float32)[:7]
                 cand = box[None]
                 if len(avoid):
-                    if box_np.box_collision_test(cand, avoid).any():
+                    if native.box_collision_test(cand, avoid).any():
                         continue
-                if sampled_boxes and box_np.box_collision_test(
+                if sampled_boxes and native.box_collision_test(
                         cand, np.stack(sampled_boxes)).any():
                     continue
                 sampled_boxes.append(box)
@@ -134,8 +135,7 @@ def unified_object_sample(
     for p in prefixes:
         pts = sample[p + "points"]
         if remove_points_in_boxes and len(pts):
-            inside = box_np.points_in_rbbox(pts, out["gt_boxes"]).any(-1)
-            pts = pts[~inside]
+            pts = native.remove_points_in_boxes(pts, out["gt_boxes"])
         sample[p + "points"] = np.concatenate(
             [obj_points[:, :pts.shape[1]], pts])
     return sample

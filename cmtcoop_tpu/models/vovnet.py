@@ -93,10 +93,12 @@ class VoVNet(nn.Module):
     spec_name: str = "V-99-eSE"
     out_features: Sequence[str] = ("stage4", "stage5")
     input_ch: int = 3
+    norm_eval: bool = True  # reference freezes BN at train (vovnet.py:381-390)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        train = train and not self.norm_eval
         spec = STAGE_SPECS[self.spec_name]
         stem_ch = spec["stem"]
         x = ConvBNReLU(stem_ch[0], (3, 3), (2, 2), dtype=self.dtype,
