@@ -121,20 +121,41 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
     return out.reshape(b, h, nq, d)
 
 
-def attend(q, k, v, bias=None, k_bias=None, impl: str = "auto"):
+def _pad_to(x, axis, multiple):
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def attend(q, k, v, bias=None, k_bias=None, impl: str = "auto",
+           block_q: int = 128, block_k: int = 1024):
     """Dispatch: Pallas flash for long-KV padding-masked attention, XLA
-    reference otherwise (e.g. DN-masked self-attention, 2D bias)."""
-    nk = k.shape[2]
+    reference otherwise (e.g. DN-masked self-attention, 2D bias).
+
+    Ragged shapes are handled by padding Q (sliced back afterwards) and KV
+    (masked out via the per-key bias), so the eval-time 900-query x ~48k-key
+    cross-attention takes the flash path too."""
+    nq, nk = q.shape[2], k.shape[2]
     use_flash = (
         impl == "flash"
         or (impl == "auto" and bias is None and nk >= 4096
-            and nk % 1024 == 0 and q.shape[2] % 128 == 0
             and jax.default_backend() == "tpu")
     )
     if use_flash:
         if k_bias is None:
-            k_bias = jnp.zeros(q.shape[:1] + (nk,), jnp.float32)
-        return flash_attention_kvmask(q, k, v, k_bias)
+            k_bias = jnp.zeros((q.shape[0], nk), jnp.float32)
+        qp = _pad_to(q, 2, block_q)
+        kp = _pad_to(k, 2, block_k)
+        vp = _pad_to(v, 2, block_k)
+        kb = jnp.pad(k_bias, ((0, 0), (0, kp.shape[2] - nk)),
+                     constant_values=NEG_INF)
+        out = flash_attention_kvmask(qp, kp, vp, kb, block_q=block_q,
+                                     block_k=block_k)
+        return out[:, :, :nq]
     if k_bias is not None:
         kb = k_bias[:, None, None, :]
         bias = kb if bias is None else bias + kb

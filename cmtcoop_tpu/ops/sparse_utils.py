@@ -140,11 +140,18 @@ def downsample_output_grid(
     slin = jnp.sort(lin)
     head = jnp.concatenate([jnp.ones((1,), bool), slin[1:] != slin[:-1]])
     head &= slin != INT32_MAX
+    # scatter-free unique: rank is sorted, so the position of the k-th
+    # distinct value is a binary search (TPU scatters serialize; gathers
+    # vectorize)
     rank = jnp.cumsum(head.astype(jnp.int32)) - 1
-    uniq = jnp.full((max_out,), INT32_MAX, jnp.int32)
-    uniq = uniq.at[jnp.where(head & (rank < max_out), rank, max_out)].set(
-        slin, mode="drop")
-    out_mask = uniq != INT32_MAX
+    rank = jnp.where(slin == INT32_MAX, INT32_MAX, rank)
+    n_uniq = jnp.maximum(
+        jnp.max(jnp.where(rank == INT32_MAX, -1, rank)) + 1, 0)
+    slots = jnp.arange(max_out, dtype=jnp.int32)
+    pos = jnp.searchsorted(rank, slots, side="left").astype(jnp.int32)
+    uniq = slin[jnp.minimum(pos, slin.shape[0] - 1)]
+    out_mask = slots < n_uniq
+    uniq = jnp.where(out_mask, uniq, INT32_MAX)
     lz = uniq // (oh * ow)
     rem = uniq - lz * (oh * ow)
     ly = rem // ow
@@ -203,11 +210,15 @@ def gather_conv(features: jnp.ndarray, nbr_idx: jnp.ndarray,
 
 
 def sparse_to_dense(grid: SparseGrid, features: jnp.ndarray) -> jnp.ndarray:
-    """Scatter (V, C) features to a dense (D, H, W, C) grid (spconv
-    `.dense()` used at the encoder output)."""
+    """Densify (V, C) features to (D, H, W, C) (spconv `.dense()` at the
+    encoder output). Gather-based: for every dense cell, binary-search the
+    sorted active set — a scatter here would serialize on TPU."""
     d, h, w = grid.shape
-    c = features.shape[-1]
-    out = jnp.zeros((d, h, w, c), features.dtype)
-    zz = jnp.where(grid.mask, grid.coords[:, 0], d)
-    return out.at[zz, grid.coords[:, 1], grid.coords[:, 2]].set(
-        jnp.where(grid.mask[:, None], features, 0.0), mode="drop")
+    v, c = features.shape
+    lin = grid.linear_ids
+    cells = jnp.arange(d * h * w, dtype=jnp.int32)
+    pos = jnp.searchsorted(lin, cells, side="left").astype(jnp.int32)
+    pos_c = jnp.minimum(pos, v - 1)
+    hit = lin[pos_c] == cells
+    dense = jnp.where(hit[:, None], features[pos_c], 0.0)
+    return dense.reshape(d, h, w, c)

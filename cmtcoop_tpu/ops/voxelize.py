@@ -1,15 +1,18 @@
-"""Hard voxelization as a static-shape XLA program (spconv replacement).
+"""Hard voxelization as a static-shape, scatter-free XLA program.
 
 The reference wraps `spconv.pytorch.utils.PointToVoxel`
 (mmcv_custom/ops/voxel/spconv_voxelize.py:11-71): hash points into a voxel
 grid, cap points/voxel (10) and voxels (120k train / 160k eval). CUDA spconv
-uses a hash table; on TPU we use the sort-based equivalent, which XLA maps to
-an efficient on-chip bitonic sort and keeps every shape static:
+uses a hash table; the TPU-native formulation is sort-based — and, crucially,
+*gather-only*: TPU scatters serialize, so every "place this point into its
+voxel slot" step is re-expressed as "which point fills this slot", resolved
+with vectorized binary search over the sorted voxel ids:
 
-    point -> voxel id -> argsort -> run-length segmentation -> scatter
+    point -> voxel id -> argsort -> run starts via searchsorted ->
+    voxels[v, p] = sorted_points[start[v] + p]
 
-Outputs are padded `(voxels, coords, num_points, voxel_mask)`; empty slots are
-zero, coords of empty slots are -1 (mirrors spconv's convention downstream).
+Outputs are padded `(voxels, coords, num_points, voxel_mask)`; empty slots
+are zero, coords of empty slots are -1.
 """
 from __future__ import annotations
 
@@ -74,38 +77,41 @@ def voxelize(
 
     order = jnp.argsort(lin)  # stable; invalids go last
     slin = lin[order]
-    svalid = valid[order]
+    spts = points[order]
+    szyx = zyx[order]
 
-    idx = jnp.arange(n, dtype=jnp.int32)
     head = jnp.concatenate(
-        [jnp.ones((1,), bool), slin[1:] != slin[:-1]]) & svalid
-    vrank = jnp.cumsum(head.astype(jnp.int32)) - 1  # voxel slot per point
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(head, idx, -1))
-    pos = idx - run_start  # rank within the voxel
+        [jnp.ones((1,), bool), slin[1:] != slin[:-1]]) & (slin != sentinel)
+    vrank = jnp.cumsum(head.astype(jnp.int32)) - 1  # voxel id per point
+    vrank = jnp.where(slin == sentinel, jnp.iinfo(jnp.int32).max, vrank)
+    n_voxels = jnp.where(head.any(), vrank_max_plus1(vrank, head), 0)
 
-    keep = svalid & (vrank >= 0) & (vrank < max_voxels) & (pos < max_points)
-    scat_v = jnp.where(keep, vrank, max_voxels)  # out-of-range rows dropped
-    scat_p = jnp.where(keep, pos, 0)
+    # run start of each voxel slot — vrank is sorted, so a binary search
+    # replaces the scatter
+    slots = jnp.arange(max_voxels, dtype=jnp.int32)
+    starts = jnp.searchsorted(vrank, slots, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(vrank, slots, side="right").astype(jnp.int32)
+    vmask = slots < n_voxels
+    counts = jnp.minimum(ends - starts, max_points)
+    counts = jnp.where(vmask, counts, 0)
 
-    voxels = jnp.zeros(
-        (max_voxels, max_points, points.shape[-1]), points.dtype)
-    voxels = voxels.at[scat_v, scat_p].set(
-        points[order], mode="drop", unique_indices=True)
+    # gather the first max_points member points of each voxel
+    gather_idx = starts[:, None] + jnp.arange(max_points, dtype=jnp.int32)
+    in_voxel = jnp.arange(max_points)[None, :] < counts[:, None]
+    gather_idx = jnp.minimum(gather_idx, n - 1)
+    voxels = jnp.where(
+        in_voxel[..., None], spts[gather_idx], 0.0)
 
-    head_keep = head & keep
-    coords = jnp.full((max_voxels, 3), -1, jnp.int32)
-    coords = coords.at[jnp.where(head_keep, vrank, max_voxels)].set(
-        zyx[order], mode="drop")
+    coords = jnp.where(
+        vmask[:, None], szyx[jnp.minimum(starts, n - 1)], -1)
+    return VoxelizationOutput(voxels, coords, counts, vmask)
 
-    num_points = jnp.zeros((max_voxels,), jnp.int32)
-    num_points = num_points.at[scat_v].add(
-        keep.astype(jnp.int32), mode="drop")
 
-    vmask = jnp.zeros((max_voxels,), bool)
-    vmask = vmask.at[jnp.where(head_keep, vrank, max_voxels)].set(
-        True, mode="drop")
-    return VoxelizationOutput(voxels, coords, num_points, vmask)
+def vrank_max_plus1(vrank, head):
+    """Number of distinct voxels = last valid rank + 1."""
+    valid_ranks = jnp.where(
+        vrank == jnp.iinfo(jnp.int32).max, -1, vrank)
+    return jnp.max(valid_ranks) + 1
 
 
 def hard_simple_vfe(vox: VoxelizationOutput) -> jnp.ndarray:
