@@ -362,7 +362,10 @@ class CmtHead(nn.Module):
         nq = query_pos.shape[1]
         bias = None
         if self.train_mode and nq > self.num_query:
-            bias = dn_attn_bias(self.num_query, self.max_gt,
+            # pad width follows the batch's actual GT slot count, which may
+            # be smaller than max_gt
+            single_pad = (nq - self.num_query) // self.dn_groups
+            bias = dn_attn_bias(self.num_query, single_pad,
                                 self.dn_groups)[None, None]
         target = jnp.zeros_like(query_pos)
         outs_dec = self.decoder(

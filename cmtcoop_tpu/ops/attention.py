@@ -57,7 +57,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale  # (bq, bk)
-    s = s + kmask_ref[0][None, :]
+    s = s + kmask_ref[0, 0][None, :]
 
     m_prev = m_scr[:]                           # (bq, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -77,9 +77,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k"))
+    jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
-                           block_k: int = 1024):
+                           block_k: int = 1024, interpret: bool = False):
     """Flash attention with a per-key additive bias (KV padding mask).
 
     Covers the reference's cross-attention use case (padding-only masking)
@@ -94,7 +94,8 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
     kr = k.reshape(bh, nk, d)
     vr = v.reshape(bh, nk, d)
     biasr = jnp.broadcast_to(
-        k_bias[:, None, :], (b, h, nk)).reshape(bh, nk).astype(jnp.float32)
+        k_bias[:, None, :], (b, h, nk)).reshape(bh, 1, nk).astype(
+            jnp.float32)
 
     grid = (bh, nq // block_q, nk // block_k)
     out = pl.pallas_call(
@@ -106,7 +107,7 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
             pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
-            pl.BlockSpec((1, block_k), lambda b_, i, j: (b_, j)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, i, j: (b_, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
@@ -117,6 +118,7 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
     )(qr, kr, vr, biasr)
     return out.reshape(b, h, nq, d)
 

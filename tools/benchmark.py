@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""FPS benchmark CLI (reference tools/benchmark.py:26-142 /
+test_speed.py:24-80 equivalent): warmup + synchronized wall clock over a
+preset's eval forward on synthetic or real data."""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("preset")
+    ap.add_argument("--data-root", default=None,
+                    help="bench on real data (default: synthetic)")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from cmtcoop_tpu.configs.presets import get_preset
+    from cmtcoop_tpu.data import formats
+    from cmtcoop_tpu.data.synthetic import synthetic_sample
+    from cmtcoop_tpu.models.build import build_detector
+    from cmtcoop_tpu.utils.profiling import time_fn
+
+    import numpy as np
+
+    preset = get_preset(args.preset)
+    dtype = dict(bfloat16=jnp.bfloat16, float32=jnp.float32)[args.dtype]
+    model = build_detector(preset, train=False, dtype=dtype)
+
+    if args.data_root:
+        from cmtcoop_tpu.data.loader import build_test_loader
+        ds, _ = build_test_loader(preset, args.data_root)
+        batch = formats.collate([ds[0]])
+    else:
+        batch = formats.collate(
+            [synthetic_sample(preset, np.random.default_rng(0),
+                              with_gt=False)])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def forward(variables, batch):
+        (task_outs, _), _ = model.apply(
+            variables, batch, mutable=["batch_stats"])
+        return task_outs
+    stats = time_fn(forward, variables, batch, warmup=args.warmup,
+                    iters=args.iters, name=preset.name)
+    print(f"FPS: {stats['fps']:.2f}")
+
+
+if __name__ == "__main__":
+    main()
