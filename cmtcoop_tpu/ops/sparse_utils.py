@@ -9,7 +9,7 @@ TPU-native answer to the reference's spconv dependency
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,15 +31,76 @@ class SparseGrid(NamedTuple):
         return jnp.where(self.mask, lin, INT32_MAX)
 
 
+def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
+                  block: int = 128, window: int = 1024,
+                  exact: Optional[bool] = None):
+    """(positions, hit) of *sorted* int32 queries in sorted int32 keys.
+
+    XLA's searchsorted gathers one scalar per query per bisection step,
+    which runs ~1000x off HBM peak on TPU (measured: 393 ms for 3.2M
+    queries). With sorted queries the problem is a merge: binary-search only
+    every `block`-th query (cheap), then resolve each query by counting keys
+    inside a contiguous `window` slice starting at its block's start —
+    dynamic-slice loads + broadcast compares, all VPU.
+
+    Exact iff no query block spans more than `window` keys — guaranteed when
+    queries are at least as locally dense as keys (e.g. dense-cell queries,
+    or neighbor queries that include the identity shift); approximate (and
+    clamped in-range, biased to "miss") across extreme density transitions
+    otherwise. `exact=True` falls back to jnp.searchsorted (used on CPU /
+    in oracles).
+    """
+    n = queries.shape[0]
+    nk = keys.shape[0]
+    if exact or (exact is None and jax.default_backend() == "cpu"):
+        pos = jnp.searchsorted(keys, queries, side="left").astype(jnp.int32)
+        pos_c = jnp.minimum(pos, nk - 1)
+        hit = (keys[pos_c] == queries) & (pos < nk)
+        return pos, hit
+
+    pad = (-n) % block
+    big = jnp.iinfo(jnp.int32).max
+    queries_p = jnp.concatenate(
+        [queries, jnp.full((pad,), big, queries.dtype)]) if pad else queries
+    nb = queries_p.shape[0] // block
+    q_blocks = queries_p.reshape(nb, block)
+
+    starts = jnp.searchsorted(
+        keys, q_blocks[:, 0], side="left").astype(jnp.int32)
+    next_starts = jnp.concatenate(
+        [starts[1:], jnp.asarray([nk], jnp.int32)])
+
+    keys_pad = jnp.concatenate(
+        [keys, jnp.full((window,), big, keys.dtype)])
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(keys_pad, (s,), (window,))
+    )(starts)  # (nb, window) contiguous slices
+
+    lt = jnp.sum(
+        (windows[:, None, :] < q_blocks[:, :, None]), axis=-1,
+        dtype=jnp.int32)
+    le = jnp.sum(
+        (windows[:, None, :] <= q_blocks[:, :, None]), axis=-1,
+        dtype=jnp.int32)
+    pos = jnp.minimum(starts[:, None] + lt, next_starts[:, None])
+    hit = (le > lt) & (q_blocks != big)
+    return pos.reshape(-1)[:n], hit.reshape(-1)[:n]
+
+
 def lookup(grid: SparseGrid, query_coords: jnp.ndarray,
-           query_valid: jnp.ndarray) -> jnp.ndarray:
+           query_valid: jnp.ndarray,
+           row_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Find the row index of each query coordinate in `grid`.
 
     Args:
-        query_coords: (..., 3) int32 (z, y, x).
-        query_valid: (...,) bool.
+        query_coords: (N, K, 3) int32 (z, y, x); each column k must be
+            monotone in the row's linear id (true for kernel-offset queries
+            of a sorted active set — the offset is an additive constant).
+        query_valid: (N, K) bool (bounds validity per offset).
+        row_mask: (N,) validity of the query rows themselves (padding rows
+            are pushed to a +inf sentinel to preserve per-column order).
     Returns:
-        (...,) int32 index into grid rows, or V (one-past-end) on miss. The
+        (N, K) int32 index into grid rows, or V (one-past-end) on miss. The
         caller should gather from features padded with a zero row at V.
     """
     d, h, w = grid.shape
@@ -47,13 +108,13 @@ def lookup(grid: SparseGrid, query_coords: jnp.ndarray,
     lin = grid.linear_ids
     qlin = (query_coords[..., 0] * h + query_coords[..., 1]) * w + \
         query_coords[..., 2]
-    flat = qlin.reshape(-1)
-    pos = jnp.searchsorted(lin, flat, side="left").astype(jnp.int32)
-    pos_c = jnp.minimum(pos, v - 1)
-    hit = (lin[pos_c] == flat) & (pos < v)
-    hit = hit & query_valid.reshape(-1)
-    idx = jnp.where(hit, pos_c, v)
-    return idx.reshape(qlin.shape)
+    if row_mask is not None:
+        qlin = jnp.where(row_mask[:, None], qlin, INT32_MAX)
+
+    pos, hit = jax.vmap(
+        lambda col: sorted_lookup(lin, col), in_axes=1, out_axes=1)(qlin)
+    hit = hit & query_valid
+    return jnp.where(hit, jnp.minimum(pos, v - 1), v)
 
 
 def kernel_offsets(kernel_size: Sequence[int]) -> jnp.ndarray:
@@ -83,7 +144,7 @@ def subm_neighbor_map(grid: SparseGrid,
     shp = jnp.asarray(grid.shape, jnp.int32)
     valid = jnp.all(nbr >= 0, axis=-1) & jnp.all(nbr < shp, axis=-1)
     valid &= grid.mask[:, None]
-    return lookup(grid, nbr, valid)
+    return lookup(grid, nbr, valid, row_mask=grid.mask)
 
 
 def downsample_output_grid(
@@ -148,7 +209,9 @@ def downsample_output_grid(
     n_uniq = jnp.maximum(
         jnp.max(jnp.where(rank == INT32_MAX, -1, rank)) + 1, 0)
     slots = jnp.arange(max_out, dtype=jnp.int32)
-    pos = jnp.searchsorted(rank, slots, side="left").astype(jnp.int32)
+    # up to 27 inputs can nominate the same output cell -> duplicate ranks;
+    # window must cover block*27 worst-case span
+    pos, _ = sorted_lookup(rank, slots, window=4096)
     uniq = slin[jnp.minimum(pos, slin.shape[0] - 1)]
     out_mask = slots < n_uniq
     uniq = jnp.where(out_mask, uniq, INT32_MAX)
@@ -178,7 +241,7 @@ def conv_neighbor_map(
     shp = jnp.asarray(in_grid.shape, jnp.int32)
     valid = jnp.all(src >= 0, axis=-1) & jnp.all(src < shp, axis=-1)
     valid &= out_grid.mask[:, None]
-    return lookup(in_grid, src, valid)
+    return lookup(in_grid, src, valid, row_mask=out_grid.mask)
 
 
 def gather_conv(features: jnp.ndarray, nbr_idx: jnp.ndarray,
@@ -217,8 +280,8 @@ def sparse_to_dense(grid: SparseGrid, features: jnp.ndarray) -> jnp.ndarray:
     v, c = features.shape
     lin = grid.linear_ids
     cells = jnp.arange(d * h * w, dtype=jnp.int32)
-    pos = jnp.searchsorted(lin, cells, side="left").astype(jnp.int32)
-    pos_c = jnp.minimum(pos, v - 1)
-    hit = lin[pos_c] == cells
-    dense = jnp.where(hit[:, None], features[pos_c], 0.0)
+    # dense cells are a superset of the keys, so span <= block: exact
+    pos, hit = sorted_lookup(lin, cells, window=256)
+    dense = jnp.where(
+        hit[:, None], features[jnp.minimum(pos, v - 1)], 0.0)
     return dense.reshape(d, h, w, c)

@@ -133,3 +133,32 @@ def test_sparse_encoder_shapes(rng):
     # H/8 x W/8, channels = out*Dfinal; D: 5->3->2->1 then (3,1,1)s2p0 -> ...
     assert out.shape[0] == 2 and out.shape[1] == 2 and out.shape[2] == 2
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sorted_lookup_windowed_matches_exact(rng):
+    """The TPU windowed-merge search vs exact searchsorted, on patterns that
+    satisfy the density precondition (constant-shifted key sets)."""
+    import jax.numpy as jnp
+    from cmtcoop_tpu.ops.sparse_utils import sorted_lookup
+
+    keys = np.unique(rng.choice(2_000_000, 5000, replace=False)).astype(
+        np.int32)
+    for shift in (0, 1, 1440, -1440, 1440 * 1440):
+        q = np.sort(keys + shift).astype(np.int32)
+        pe, he = sorted_lookup(jnp.asarray(keys), jnp.asarray(q),
+                               exact=True)
+        pw, hw_ = sorted_lookup(jnp.asarray(keys), jnp.asarray(q),
+                                exact=False, block=64, window=512)
+        np.testing.assert_array_equal(np.asarray(he), np.asarray(hw_))
+        np.testing.assert_array_equal(
+            np.asarray(pe)[np.asarray(he)], np.asarray(pw)[np.asarray(hw_)])
+
+    # dense queries superset of keys (sparse_to_dense pattern)
+    q = np.arange(0, 40000, dtype=np.int32)
+    keys2 = np.unique(rng.choice(40000, 3000, replace=False)).astype(
+        np.int32)
+    pe, he = sorted_lookup(jnp.asarray(keys2), jnp.asarray(q), exact=True)
+    pw, hw_ = sorted_lookup(jnp.asarray(keys2), jnp.asarray(q), exact=False,
+                            block=128, window=256)
+    np.testing.assert_array_equal(np.asarray(he), np.asarray(hw_))
+    np.testing.assert_array_equal(np.asarray(pe), np.asarray(pw))
