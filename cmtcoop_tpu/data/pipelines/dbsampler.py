@@ -99,6 +99,56 @@ class DataBaseSampler:
                     infos=sampled_infos)
 
 
+def paste_image_patches(
+    sample: Dict,
+    sampled_infos: List[dict],
+    sampled_boxes: np.ndarray,
+    rng: np.random.Generator,
+    prefixes: Sequence[str] = ("",),
+    mixup_rate: float = 0.5,
+) -> Dict:
+    """Paste sampled objects' image crops into every camera, far-to-near,
+    blended with `mixup_rate` (UnifiedObjectSampleCoop sample_2d path,
+    transforms_3d_coop.py:491-726).
+
+    Each db info may carry `cam_patches: {cam_tag: {path, bbox}}` produced by
+    the GT-database builder; objects without patches are points-only.
+    """
+    order = np.argsort(-np.linalg.norm(sampled_boxes[:, :2], axis=1))
+    for p in prefixes:
+        if p + "img_list" not in sample:
+            continue
+        l2i = np.asarray(sample[p + "lidar2img"], np.float32)
+        for oi in order:
+            info = sampled_infos[oi]
+            patches = info.get("cam_patches") or {}
+            box = sampled_boxes[oi]
+            center = np.array(
+                [box[0], box[1], box[2] + box[5] / 2, 1.0], np.float32)
+            for vi, img in enumerate(sample[p + "img_list"]):
+                tag = f"{p}cam{vi}"
+                if tag not in patches:
+                    continue
+                patch = np.load(patches[tag]["path"])
+                proj = l2i[vi] @ center
+                if proj[2] <= 0.1:
+                    continue
+                u, v_ = proj[0] / proj[2], proj[1] / proj[2]
+                ph, pw = patch.shape[:2]
+                x1 = int(round(u - pw / 2))
+                y1 = int(round(v_ - ph / 2))
+                h, w = img.shape[:2]
+                sx1, sy1 = max(x1, 0), max(y1, 0)
+                sx2, sy2 = min(x1 + pw, w), min(y1 + ph, h)
+                if sx2 <= sx1 or sy2 <= sy1:
+                    continue
+                crop = patch[sy1 - y1:sy2 - y1, sx1 - x1:sx2 - x1]
+                img[sy1:sy2, sx1:sx2] = (
+                    img[sy1:sy2, sx1:sx2] * (1 - mixup_rate) +
+                    crop * mixup_rate)
+    return sample
+
+
 def unified_object_sample(
     sample: Dict,
     sampler: DataBaseSampler,
@@ -106,6 +156,8 @@ def unified_object_sample(
     class_names: Sequence[str],
     prefixes: Sequence[str] = ("",),
     remove_points_in_boxes: bool = True,
+    sample_2d: bool = False,
+    mixup_rate: float = 0.5,
 ) -> Dict:
     """Paste sampled GT objects into every agent's cloud
     (UnifiedObjectSampleCoop points path, transforms_3d_coop.py:491-726):
@@ -138,4 +190,8 @@ def unified_object_sample(
             pts = native.remove_points_in_boxes(pts, out["gt_boxes"])
         sample[p + "points"] = np.concatenate(
             [obj_points[:, :pts.shape[1]], pts])
+    if sample_2d:
+        sample = paste_image_patches(
+            sample, out["infos"], out["gt_boxes"], rng, prefixes,
+            mixup_rate)
     return sample

@@ -76,12 +76,24 @@ def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
         lambda s: jax.lax.dynamic_slice(keys_pad, (s,), (window,))
     )(starts)  # (nb, window) contiguous slices
 
-    lt = jnp.sum(
-        (windows[:, None, :] < q_blocks[:, :, None]), axis=-1,
-        dtype=jnp.int32)
-    le = jnp.sum(
-        (windows[:, None, :] <= q_blocks[:, :, None]), axis=-1,
-        dtype=jnp.int32)
+    # chunked compare-count so the (nb, block, window) broadcast never
+    # materializes (it would be GBs at production sizes)
+    chunk = min(128, window)
+
+    def body(carry, i):
+        lt_c, le_c = carry
+        wc = jax.lax.dynamic_slice_in_dim(windows, i * chunk, chunk, axis=1)
+        lt_c = lt_c + jnp.sum(
+            wc[:, None, :] < q_blocks[:, :, None], axis=-1,
+            dtype=jnp.int32)
+        le_c = le_c + jnp.sum(
+            wc[:, None, :] <= q_blocks[:, :, None], axis=-1,
+            dtype=jnp.int32)
+        return (lt_c, le_c), None
+
+    zeros = jnp.zeros((nb, block), jnp.int32)
+    (lt, le), _ = jax.lax.scan(
+        body, (zeros, zeros), jnp.arange(window // chunk))
     pos = jnp.minimum(starts[:, None] + lt, next_starts[:, None])
     hit = (le > lt) & (q_blocks != big)
     return pos.reshape(-1)[:n], hit.reshape(-1)[:n]
@@ -111,9 +123,11 @@ def lookup(grid: SparseGrid, query_coords: jnp.ndarray,
     if row_mask is not None:
         qlin = jnp.where(row_mask[:, None], qlin, INT32_MAX)
 
-    pos, hit = jax.vmap(
-        lambda col: sorted_lookup(lin, col), in_axes=1, out_axes=1)(qlin)
-    hit = hit & query_valid
+    # sequential over the K kernel offsets (K<=27) to bound peak memory
+    pos_t, hit_t = jax.lax.map(
+        lambda col: sorted_lookup(lin, col), jnp.swapaxes(qlin, 0, 1))
+    pos = jnp.swapaxes(pos_t, 0, 1)
+    hit = jnp.swapaxes(hit_t, 0, 1) & query_valid
     return jnp.where(hit, jnp.minimum(pos, v - 1), v)
 
 
@@ -257,19 +271,24 @@ def gather_conv(features: jnp.ndarray, nbr_idx: jnp.ndarray,
     Returns:
         (V_out, Cout).
 
-    The gather feeds one large (V_out, K*Cin) x (K*Cin, Cout) contraction so
-    the MXU sees a single big matmul per layer.
+    One gather + one (V, Cin) x (Cin, Cout) matmul per kernel offset,
+    accumulated in f32. Per-offset gathers have *monotone* indices (a
+    kernel offset is an additive shift of the sorted linear ids), so the
+    HBM access pattern is near-sequential — measurably faster than one
+    combined (V, K*Cin) gather, and the peak intermediate is K times
+    smaller.
     """
     v_out, k = nbr_idx.shape
     cin, cout = weights.shape[1], weights.shape[2]
     padded = jnp.concatenate(
         [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
-    gathered = padded[nbr_idx.reshape(-1)].reshape(v_out, k * cin)
-    w = weights.reshape(k * cin, cout).astype(features.dtype)
-    return jax.lax.dot_general(
-        gathered, w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision).astype(features.dtype)
+    w = weights.astype(features.dtype)
+    acc = jnp.zeros((v_out, cout), jnp.float32)
+    for kk in range(k):
+        acc = acc + jax.lax.dot_general(
+            padded[nbr_idx[:, kk]], w[kk], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+    return acc.astype(features.dtype)
 
 
 def sparse_to_dense(grid: SparseGrid, features: jnp.ndarray) -> jnp.ndarray:
