@@ -264,3 +264,72 @@ def create_gt_database(save_dir: str,
     with open(out, "wb") as f:
         pickle.dump(db_infos, f)
     print(f"gt database: {sum(len(v) for v in db_infos.values())} objects")
+
+
+def create_gt_database_images(save_dir: str,
+                              info_path: Optional[str] = None) -> None:
+    """Augment the GT database with per-camera image patches for sample_2d
+    pasting (gt_database_cmt-style, create_gt_database_cmt.py capability):
+    project each object's 3D box into every camera, crop the patch, store as
+    .npy next to the point crops, record under `cam_patches`."""
+    from PIL import Image
+    info_path = info_path or os.path.join(
+        save_dir, "a9_nusc_coop_infos_train.pkl")
+    db_path = os.path.join(save_dir, "a9_nusc_coop_dbinfos_train.pkl")
+    with open(info_path, "rb") as f:
+        infos = {i["timestamp"]: i for i in pickle.load(f)["infos"]}
+    with open(db_path, "rb") as f:
+        db_infos = pickle.load(f)
+    patch_dir = os.path.join(save_dir, "a9_nusc_coop_gt_database_patches")
+    os.makedirs(patch_dir, exist_ok=True)
+
+    # cache decoded images per (timestamp, cam)
+    def corners3d(box):
+        c = box_np.corners_bev(box[None])[0]  # (4, 2)
+        z0, z1 = box[2], box[2] + box[5]
+        out = []
+        for z in (z0, z1):
+            for k in range(4):
+                out.append([c[k, 0], c[k, 1], z, 1.0])
+        return np.asarray(out, np.float32)
+
+    for cls, entries in db_infos.items():
+        for e in entries:
+            ts = str(e["path"]).split("/")[-1].split("_" + cls)[0]
+            info = infos.get(type(list(infos)[0])(ts)) if infos else None
+            if info is None:
+                continue
+            box = np.asarray(e["box3d_lidar"], np.float32)
+            pts8 = corners3d(box)
+            e["cam_patches"] = {}
+            for prefix, cams in (("vehicle_", info["vehicle_cams"]),
+                                 ("infrastructure_",
+                                  info["infrastructure_cams"])):
+                for vi, (_, cam) in enumerate(cams.items()):
+                    l2i = np.vstack([np.asarray(cam["lidar2image"],
+                                                np.float64)[:3],
+                                     [0, 0, 0, 1]])
+                    proj = pts8 @ l2i.T
+                    if (proj[:, 2] <= 0.1).any():
+                        continue
+                    uv = proj[:, :2] / proj[:, 2:3]
+                    x1, y1 = np.floor(uv.min(0)).astype(int)
+                    x2, y2 = np.ceil(uv.max(0)).astype(int)
+                    try:
+                        img = np.asarray(Image.open(cam["data_path"]))
+                    except Exception:
+                        continue
+                    h, w = img.shape[:2]
+                    x1, y1 = max(x1, 0), max(y1, 0)
+                    x2, y2 = min(x2, w), min(y2, h)
+                    if x2 - x1 < 4 or y2 - y1 < 4:
+                        continue
+                    patch = img[y1:y2, x1:x2].astype(np.float32)
+                    fname = f"{ts}_{cls}_{e['gt_idx']}_{prefix}cam{vi}.npy"
+                    np.save(os.path.join(patch_dir, fname), patch)
+                    e["cam_patches"][f"{prefix}cam{vi}"] = dict(
+                        path=os.path.join(patch_dir, fname),
+                        bbox=(int(x1), int(y1), int(x2), int(y2)))
+    with open(db_path, "wb") as f:
+        pickle.dump(db_infos, f)
+    print("gt database image patches written")

@@ -355,3 +355,85 @@ def pad_images(sample: Dict, size_divisor: int = 32,
         sample[p + "pad_shape"] = padded[0].shape
         del sample[p + "img_list"]
     return sample
+
+
+def random_flip_3d(sample: Dict, rng: np.random.Generator,
+                   flip_ratio_horizontal: float = 0.5,
+                   flip_ratio_vertical: float = 0.5,
+                   prefixes: Sequence[str] = SINGLE) -> Dict:
+    """BEV flips of clouds + boxes with camera-matrix updates
+    (CustomRandomFlip3D, transform_3d.py:725-830; commented out of the coop
+    config but part of the single-agent capability surface).
+
+    Horizontal = flip y, vertical = flip x (mmdet3d convention)."""
+    flip_h = rng.uniform() < flip_ratio_horizontal
+    flip_v = rng.uniform() < flip_ratio_vertical
+
+    def flip_mat():
+        m = np.eye(4, dtype=np.float32)
+        if flip_h:
+            m[1, 1] = -1
+        if flip_v:
+            m[0, 0] = -1
+        return m
+
+    if not (flip_h or flip_v):
+        sample["pcd_horizontal_flip"] = False
+        sample["pcd_vertical_flip"] = False
+        return sample
+    for p in prefixes:
+        if p + "points" in sample:
+            pts = sample[p + "points"].copy()
+            if flip_h:
+                pts[:, 1] *= -1
+            if flip_v:
+                pts[:, 0] *= -1
+            sample[p + "points"] = pts
+        for key in (p + "lidar2img", p + "lidar2cam"):
+            if key in sample:
+                inv = np.linalg.inv(flip_mat())
+                sample[key] = np.asarray(
+                    [m @ inv for m in sample[key]], np.float32)
+    if "gt_boxes_3d" in sample and len(sample["gt_boxes_3d"]):
+        b = sample["gt_boxes_3d"].copy()
+        if flip_h:
+            b[:, 1] *= -1
+            b[:, 6] = -b[:, 6]
+            if b.shape[1] > 7:
+                b[:, 8] *= -1
+        if flip_v:
+            b[:, 0] *= -1
+            b[:, 6] = np.pi - b[:, 6]
+            if b.shape[1] > 7:
+                b[:, 7] *= -1
+        sample["gt_boxes_3d"] = b
+    sample["pcd_horizontal_flip"] = bool(flip_h)
+    sample["pcd_vertical_flip"] = bool(flip_v)
+    return sample
+
+
+def global_rot_scale_trans_image(
+    sample: Dict, rng: np.random.Generator,
+    rot_range=(-0.3925, 0.3925), scale_ratio_range=(0.95, 1.05),
+    prefixes: Sequence[str] = SINGLE,
+) -> Dict:
+    """Camera-only variant: apply the world R/S to GT boxes and fold the
+    inverse into lidar2img, leaving (absent) clouds untouched
+    (GlobalRotScaleTransImage, transform_3d.py:861-968)."""
+    angle = float(rng.uniform(*rot_range))
+    scale = float(rng.uniform(*scale_ratio_range))
+    if "gt_boxes_3d" in sample and len(sample["gt_boxes_3d"]):
+        b = box_np.rotate_boxes(sample["gt_boxes_3d"], angle)
+        sample["gt_boxes_3d"] = box_np.scale_boxes(b, scale)
+    rot4 = np.eye(4, dtype=np.float64)
+    rot4[:3, :3] = box_np.rot_mat_z(angle)
+    scale4 = np.diag([scale, scale, scale, 1.0])
+    inv = np.linalg.inv(scale4 @ rot4).astype(np.float32)
+    for p in prefixes:
+        for key in (p + "lidar2img", p + "lidar2cam"):
+            if key in sample:
+                sample[key] = np.asarray(
+                    [m @ inv for m in sample[key]], np.float32)
+    sample["pcd_rotation"] = angle
+    sample["pcd_scale_factor"] = scale
+    return sample
