@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from cmtcoop_tpu.models.cmt_head import AgentInputs, CmtHead
 from cmtcoop_tpu.models.grid_mask import grid_mask
 from cmtcoop_tpu.models.second import SECOND, SECONDFPN
+from cmtcoop_tpu.models.pillar_encoder import PillarSparseEncoder
 from cmtcoop_tpu.models.sparse_encoder import SparseEncoder
 from cmtcoop_tpu.models.vovnet import CPFPN, VoVNet
 from cmtcoop_tpu.ops.voxelize import hard_simple_vfe, voxelize
@@ -52,6 +53,10 @@ class FeatureExtractor(nn.Module):
         (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
     sparse_out_channels: int = 128
     sparse_stage_caps: Sequence[int] = (60000, 60000, 60000, 60000)
+    # "pillar" = pillar-dense encoder (fast path, same function);
+    # "gather" = per-voxel gather encoder (reference implementation)
+    encoder_impl: str = "pillar"
+    pillar_caps: Sequence[int] = (40000, 24000, 16000, 16000)
     second_channels: Sequence[int] = (128, 256)
     second_layers: Sequence[int] = (5, 5)
     fpn_channels: Sequence[int] = (256, 256)
@@ -73,7 +78,7 @@ class FeatureExtractor(nn.Module):
         if self.use_lidar:
             # sparse_shape z = grid_z + 1, matching the reference's
             # [41, 1440, 1440] for a 40-cell z grid (config:245)
-            self.pts_middle_encoder = SparseEncoder(
+            common = dict(
                 sparse_shape=(
                     self.grid_size[2] + 1, self.grid_size[1],
                     self.grid_size[0]),
@@ -81,8 +86,13 @@ class FeatureExtractor(nn.Module):
                 encoder_channels=tuple(
                     tuple(c) for c in self.sparse_channels),
                 output_channels=self.sparse_out_channels,
-                stage_caps=tuple(self.sparse_stage_caps),
                 dtype=self.dtype)
+            if self.encoder_impl == "pillar":
+                self.pts_middle_encoder = PillarSparseEncoder(
+                    pillar_caps=tuple(self.pillar_caps), **common)
+            else:
+                self.pts_middle_encoder = SparseEncoder(
+                    stage_caps=tuple(self.sparse_stage_caps), **common)
             self.pts_backbone = SECOND(
                 tuple(self.second_channels), tuple(self.second_layers),
                 dtype=self.dtype)

@@ -1,0 +1,167 @@
+"""Pillar-dense sparse voxel encoder — the fast path.
+
+Computes the SAME function as `models.sparse_encoder.SparseEncoder` (the
+mmdet3d SparseEncoder graph, coop config:243-251) with the TPU-native
+pillar-dense layout from `ops.pillars`: sparse BEV pillars carrying dense
+z-tiles. Parameter trees are IDENTICAL (same module names, same (K, Cin,
+Cout) z-major kernel layout), so weights are interchangeable and parity is
+testable tile-for-tile.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cmtcoop_tpu.models.layers import MaskedBatchNorm
+from cmtcoop_tpu.ops import pillars as pu
+
+_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class PillarConv(nn.Module):
+    features: int
+    kernel_volume: int  # kz * ky * kx
+    kz: int = 3
+    z_stride: int = 1
+    z_pad: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, nbr):
+        w = self.param(
+            "kernel", _conv_init,
+            (self.kernel_volume, feats.shape[-1], self.features),
+            jnp.float32)
+        return jax.vmap(
+            lambda f, n: pu.pillar_conv(
+                f, n, w.astype(self.dtype), self.kz, self.z_stride,
+                self.z_pad)
+        )(feats.astype(self.dtype), nbr)
+
+
+class PillarConvBlock(nn.Module):
+    """conv + masked BN + ReLU + occupancy mask."""
+    features: int
+    kernel_volume: int
+    kz: int = 3
+    z_stride: int = 1
+    z_pad: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, nbr, occ_out, train: bool = False):
+        x = PillarConv(self.features, self.kernel_volume, self.kz,
+                       self.z_stride, self.z_pad, self.dtype,
+                       name="conv")(feats, nbr)
+        x = MaskedBatchNorm(dtype=self.dtype, name="bn")(
+            x, occ_out, train)
+        return nn.relu(x) * occ_out[..., None]
+
+
+class PillarBasicBlock(nn.Module):
+    """SparseBasicBlock on pillar tiles (submanifold: same sites)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, nbr, occ, train: bool = False):
+        identity = feats
+        x = PillarConv(self.features, 27, 3, 1, 1, self.dtype,
+                       name="conv1")(feats, nbr)
+        x = MaskedBatchNorm(dtype=self.dtype, name="bn1")(x, occ, train)
+        x = nn.relu(x)
+        x = x * occ[..., None]
+        x = PillarConv(self.features, 27, 3, 1, 1, self.dtype,
+                       name="conv2")(x, nbr)
+        x = MaskedBatchNorm(dtype=self.dtype, name="bn2")(x, occ, train)
+        return nn.relu(x + identity) * occ[..., None]
+
+
+class PillarSparseEncoder(nn.Module):
+    """(B, V, Cin) voxels -> dense BEV (B, H/8, W/8, 256); pillar-dense."""
+    sparse_shape: Tuple[int, int, int] = (41, 1440, 1440)  # (D, H, W)
+    base_channels: int = 16
+    encoder_channels: Sequence[Sequence[int]] = (
+        (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
+    output_channels: int = 128
+    pillar_caps: Sequence[int] = (40000, 24000, 16000, 16000)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, voxel_feats, coords, mask, train: bool = False):
+        d, h, w = self.sparse_shape
+
+        def build(vf, c, m):
+            return pu.build_pillars(c, m, vf, (h, w), d,
+                                    self.pillar_caps[0])
+        pcoords, pmask, occ, x = jax.vmap(build)(
+            voxel_feats.astype(self.dtype), coords, mask)
+        grid = pu.PillarGrid(pcoords, pmask, (h, w), d)
+
+        def vnbr(g):
+            return jax.vmap(lambda c, m: pu.pillar_neighbor_map(
+                pu.PillarGrid(c, m, g.hw, g.z)))(g.coords, g.mask)
+
+        nbr = vnbr(grid)
+        x = PillarConvBlock(self.base_channels, 27, 3, 1, 1, self.dtype,
+                            name="conv_input")(x, nbr, occ, train)
+
+        down_zpads = [1, 1, 0]
+        n_stages = len(self.encoder_channels)
+        for i, blocks in enumerate(self.encoder_channels):
+            ch = blocks[0]
+            n_sbb = len(blocks) - (0 if i == n_stages - 1 else 1)
+            for j in range(n_sbb):
+                x = PillarBasicBlock(
+                    ch, self.dtype, name=f"stage{i}_block{j}")(
+                        x, nbr, occ, train)
+            if i != n_stages - 1:
+                out_ch = blocks[-1]
+                cap = self.pillar_caps[min(i + 1,
+                                           len(self.pillar_caps) - 1)]
+                def vdown(g, cap=cap):
+                    def one(c, m):
+                        og = pu.pillar_downsample_grid(
+                            pu.PillarGrid(c, m, g.hw, g.z), cap)
+                        nb = pu.pillar_conv_neighbor_map(
+                            pu.PillarGrid(c, m, g.hw, g.z), og)
+                        return og.coords, og.mask, nb
+                    oc, om, nb = jax.vmap(one)(g.coords, g.mask)
+                    oh = (g.hw[0] + 2 - 3) // 2 + 1
+                    ow = (g.hw[1] + 2 - 3) // 2 + 1
+                    return pu.PillarGrid(oc, om, (oh, ow), g.z), nb
+                out_grid, nbr_dn = vdown(grid)
+                zp = down_zpads[i]
+                occ_new = jax.vmap(
+                    lambda o, n, zp=zp: pu.occ_downsample(o, n, 3, 2, zp)
+                )(occ, nbr_dn)
+                x = PillarConvBlock(
+                    out_ch, 27, 3, 2, zp, self.dtype,
+                    name=f"stage{i}_down")(x, nbr_dn, occ_new, train)
+                grid, occ = out_grid, occ_new
+                nbr = vnbr(grid)
+
+        # conv_out: kernel (3,1,1), stride (2,1,1), pad 0 — BEV identity map
+        p = grid.coords.shape[1]
+        ident = jnp.broadcast_to(
+            jnp.where(grid.mask, jnp.arange(p, dtype=jnp.int32)[None], p),
+            grid.mask.shape)[..., None]
+        occ_out = jax.vmap(
+            lambda o, n: pu.occ_downsample(o, n, 3, 2, 0))(occ, ident)
+        x = PillarConvBlock(self.output_channels, 3, 3, 2, 0, self.dtype,
+                            name="conv_out")(x, ident, occ_out, train)
+
+        dense = jax.vmap(
+            lambda c, m, f: pu.pillars_to_dense(
+                pu.PillarGrid(c, m, grid.hw, x.shape[2]), f)
+        )(grid.coords, grid.mask, x)
+        # (B, H, W, Z*C) with row layout z-major per cell; convert to the
+        # torch view(N, C*D, H, W) channel-major-over-D layout for parity
+        b, hh, ww, zc = dense.shape
+        zf = x.shape[2]
+        c = zc // zf
+        dense = dense.reshape(b, hh, ww, zf, c).transpose(0, 1, 2, 4, 3)
+        return dense.reshape(b, hh, ww, zc)

@@ -32,7 +32,7 @@ class SparseGrid(NamedTuple):
 
 
 def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
-                  block: int = 128, window: int = 1024,
+                  block: int = 128, window: int = 512,
                   exact: Optional[bool] = None):
     """(positions, hit) of *sorted* int32 queries in sorted int32 keys.
 
