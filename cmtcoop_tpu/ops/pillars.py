@@ -189,21 +189,28 @@ def pillar_conv(
     nbr: jnp.ndarray,          # (P_out, KB) BEV gather map (miss -> P_in)
     weights: jnp.ndarray,      # (K = kz*ky*kx, Cin, Cout), z-major layout
     kz: int, z_stride: int = 1, z_pad: int = 1,
+    chunk: int = 8192,
     precision=None,
 ) -> jnp.ndarray:
     """Sparse-BEV x dense-z convolution.
 
     out[p, zo] = sum_{j in KB, dz in kz} feats[nbr[p, j], zo*s + dz - pad]
-                 @ W[dz, j]  — one gathered tile + kz dense matmuls per BEV
-    offset, accumulated in f32. Weight layout matches the gather encoder's
-    (K, Cin, Cout) with K ordered (dz, dy, dx) z-major, so parameters are
-    interchangeable between the two encoders.
+                 @ W[dz, j]
+
+    Expressed as ONE dense `lax.conv` per pillar chunk: the gathered
+    neighborhood (chunk, KB, Z+2p, C) convolves with a (KB, kz, C, Cout)
+    kernel (VALID, fully covering KB) — the conv emitter does the im2col in
+    VMEM so the MXU sees K = KB*kz*Cin instead of tiny per-tap contractions
+    (a 27x utilization difference at C=16). Weight layout matches the gather
+    encoder's (K, Cin, Cout), z-major, so parameters are interchangeable.
     """
     p_in, z_in, cin = feats.shape
-    kb = nbr.shape[1]
+    p_out, kb = nbr.shape
     cout = weights.shape[2]
     z_out = (z_in + 2 * z_pad - kz) // z_stride + 1
-    w3 = weights.reshape(kz, kb, cin, cout)  # K = (dz-major, then BEV)
+    # (kz, kb, cin, cout) -> conv kernel (KB, kz, Cin, Cout)
+    w4 = weights.reshape(kz, kb, cin, cout).transpose(1, 0, 2, 3).astype(
+        feats.dtype)
 
     padded = jnp.concatenate(
         [feats, jnp.zeros((1, z_in, cin), feats.dtype)], axis=0)
@@ -211,17 +218,20 @@ def pillar_conv(
         zp = jnp.zeros((p_in + 1, z_pad, cin), feats.dtype)
         padded = jnp.concatenate([zp, padded, zp], axis=1)
 
-    acc = jnp.zeros((nbr.shape[0], z_out, cout), jnp.float32)
-    for j in range(kb):
-        tile = padded[nbr[:, j]]  # (P_out, Z_in + 2pad, Cin) contiguous rows
-        for dz in range(kz):
-            sl = jax.lax.slice_in_dim(
-                tile, dz, dz + (z_out - 1) * z_stride + 1, z_stride, axis=1)
-            acc = acc + jax.lax.dot_general(
-                sl, w3[dz, j].astype(feats.dtype),
-                (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
-    return acc.astype(feats.dtype)
+    def conv_chunk(nbr_c):
+        tiles = padded[nbr_c]  # (chunk, KB, Z+2p, Cin), contiguous rows
+        out = jax.lax.conv_general_dilated(
+            tiles, w4,
+            window_strides=(1, z_stride), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+            precision=precision)
+        return out[:, 0].astype(feats.dtype)  # (chunk, Z_out, Cout)
+
+    if p_out <= chunk or p_out % chunk != 0:
+        return conv_chunk(nbr)
+    out = jax.lax.map(conv_chunk, nbr.reshape(-1, chunk, kb))
+    return out.reshape(p_out, z_out, cout)
 
 
 def occ_downsample(occ: jnp.ndarray, nbr: jnp.ndarray,
