@@ -110,8 +110,8 @@ def pillar_neighbor_map(grid: PillarGrid,
     qlin = nbr[..., 0] * w + nbr[..., 1]
     qlin = jnp.where(grid.mask[:, None], qlin, INT32_MAX)
 
-    pos_t, hit_t = jax.lax.map(
-        lambda col: sorted_lookup(lin, col), jnp.swapaxes(qlin, 0, 1))
+    pos_t, hit_t = jax.vmap(
+        lambda col: sorted_lookup(lin, col))(jnp.swapaxes(qlin, 0, 1))
     pos = jnp.swapaxes(pos_t, 0, 1)
     hit = jnp.swapaxes(hit_t, 0, 1) & valid
     return jnp.where(hit, jnp.minimum(pos, p - 1), p)
@@ -176,8 +176,8 @@ def pillar_conv_neighbor_map(in_grid: PillarGrid, out_grid: PillarGrid,
              out_grid.mask[:, None])
     qlin = src[..., 0] * w + src[..., 1]
     qlin = jnp.where(out_grid.mask[:, None], qlin, INT32_MAX)
-    pos_t, hit_t = jax.lax.map(
-        lambda col: sorted_lookup(lin, col, window=1024),
+    pos_t, hit_t = jax.vmap(
+        lambda col: sorted_lookup(lin, col, window=1024))(
         jnp.swapaxes(qlin, 0, 1))
     pos = jnp.swapaxes(pos_t, 0, 1)
     hit = jnp.swapaxes(hit_t, 0, 1) & valid
@@ -246,14 +246,13 @@ def occ_downsample(occ: jnp.ndarray, nbr: jnp.ndarray,
     if z_pad:
         zp = jnp.zeros((p_in + 1, z_pad), bool)
         padded = jnp.concatenate([zp, padded, zp], axis=1)
-    out = jnp.zeros((nbr.shape[0], z_out), bool)
-    for j in range(nbr.shape[1]):
-        tile = padded[nbr[:, j]]
-        for dz in range(kz):
-            sl = jax.lax.slice_in_dim(
-                tile, dz, dz + (z_out - 1) * z_stride + 1, z_stride, axis=1)
-            out = out | sl
-    return out
+    tiles = padded[nbr]  # (P_out, KB, Z+2p) — one gather, then one reduce
+    any_bev = jnp.any(tiles, axis=1)
+    cols = jnp.stack([
+        jax.lax.slice_in_dim(
+            any_bev, dz, dz + (z_out - 1) * z_stride + 1, z_stride, axis=1)
+        for dz in range(kz)], axis=0)
+    return jnp.any(cols, axis=0)
 
 
 def pillars_to_dense(grid: PillarGrid, feats: jnp.ndarray) -> jnp.ndarray:

@@ -123,9 +123,10 @@ def lookup(grid: SparseGrid, query_coords: jnp.ndarray,
     if row_mask is not None:
         qlin = jnp.where(row_mask[:, None], qlin, INT32_MAX)
 
-    # sequential over the K kernel offsets (K<=27) to bound peak memory
-    pos_t, hit_t = jax.lax.map(
-        lambda col: sorted_lookup(lin, col), jnp.swapaxes(qlin, 0, 1))
+    # vmapped over the K kernel offsets; the chunked count inside
+    # sorted_lookup bounds the peak intermediate to (K, nb, block, chunk)
+    pos_t, hit_t = jax.vmap(
+        lambda col: sorted_lookup(lin, col))(jnp.swapaxes(qlin, 0, 1))
     pos = jnp.swapaxes(pos_t, 0, 1)
     hit = jnp.swapaxes(hit_t, 0, 1) & query_valid
     return jnp.where(hit, jnp.minimum(pos, v - 1), v)
