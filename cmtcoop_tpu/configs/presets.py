@@ -62,21 +62,40 @@ class Preset:
             return ("vehicle", "infrastructure")
         return (self.domain,)
 
+    tiny: bool = False
+
     def extractor_kwargs(self, train: bool = False) -> Dict[str, Any]:
-        return dict(
+        out = dict(
             voxel_size=self.voxel_size,
             pc_range=self.pc_range,
             grid_size=self.grid_size,
             max_voxels=(self.max_voxels_train if train
                         else self.max_voxels_eval),
         )
+        if self.tiny:
+            out.update(
+                sparse_base_channels=8,
+                sparse_channels=((8, 8, 8), (8, 8, 16), (16, 16, 16),
+                                 (16, 16)),
+                sparse_out_channels=16,
+                sparse_stage_caps=(128,) * 4,
+                pillar_caps=(128,) * 4,
+                second_channels=(16, 32), second_layers=(1, 1),
+                fpn_channels=(16, 16), img_spec="V-19-slim-eSE",
+                neck_out_channels=32)
+        return out
 
     def head_kwargs(self) -> Dict[str, Any]:
-        return dict(
+        out = dict(
             tasks=self.tasks,
             max_gt=self.max_gt,
             dn_groups=self.dn_groups,
         )
+        if self.tiny:
+            out.update(num_query=24, hidden_dim=32, in_channels=32,
+                       depth_num=8, num_decoder_layers=2, num_heads=4,
+                       feedforward_channels=64)
+        return out
 
 
 def tumtraf_preset(domain: str, modality: str, **over) -> Preset:
@@ -126,3 +145,24 @@ for _dom in ("vehicle", "infrastructure", "coop"):
 for _mod in ("camera", "lidar", "fusion"):
     _p = nuscenes_preset(_mod)
     PRESETS[_p.name] = _p
+
+
+def tiny_preset(**over) -> Preset:
+    """Miniature preset for smoke tests / CI — not a reference config."""
+    base = dict(
+        name="cmt_lidar_vehicle_tiny",
+        domain="vehicle", modality="lidar",
+        class_names=("CAR",), tasks=(("CAR",),),
+        pc_range=(-8.0, -8.0, -5.0, 8.0, 8.0, 5.0),
+        voxel_size=(1.0, 1.0, 0.25), grid_size=(16, 16, 40),
+        num_views=1, img_size=(64, 128),
+        max_points=1024, max_voxels_train=128, max_voxels_eval=128,
+        max_gt=8, dn_groups=2, total_epochs=1,
+        dataset="a9nusc", ann_prefix="a9_nusc_infos",
+        tiny=True,
+    )
+    base.update(over)
+    return Preset(**base)
+
+
+PRESETS["cmt_lidar_vehicle_tiny"] = tiny_preset()

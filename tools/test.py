@@ -34,6 +34,8 @@ def main():
     args = parse_args()
     logging.basicConfig(level=logging.INFO)
     import jax
+    if os.environ.get("CMTCOOP_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["CMTCOOP_PLATFORM"])
     import jax.numpy as jnp
     from cmtcoop_tpu.configs.presets import get_preset
     from cmtcoop_tpu.core.coder import decode_boxes

@@ -47,6 +47,8 @@ def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     import jax
+    if os.environ.get("CMTCOOP_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["CMTCOOP_PLATFORM"])
     import jax.numpy as jnp
     from cmtcoop_tpu.configs.presets import get_preset
     from cmtcoop_tpu.models.build import build_detector
