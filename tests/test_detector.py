@@ -16,6 +16,7 @@ TINY_EXTRACTOR = dict(
     sparse_channels=((4, 4, 8), (8, 8, 8), (8, 8, 16), (16, 16)),
     sparse_out_channels=16,
     sparse_stage_caps=(128, 128, 128, 128),
+    pillar_caps=(128, 128, 128, 128),
     second_channels=(8, 16),
     second_layers=(1, 1),
     fpn_channels=(16, 16),

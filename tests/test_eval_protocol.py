@@ -51,8 +51,6 @@ def test_half_recall_ap():
     md = accumulate(gt, pred, "CAR", 2.0)
     ap = calc_ap(md, 0.1, 0.1)
     # precision 1.0 for recall bins (0.1, 0.5], 0 after; bins 11..50 of 100
-    expected = ((0.5 - 0.1) * 100 * (1.0 - 0.1) / 0.9) / 100 / (1.0)
-    # = mean over bins 11..100 of clipped precision / 0.9
     prec = np.zeros(101)
     prec[:51] = 1.0
     manual = np.mean(np.clip(prec[11:] - 0.1, 0, None)) / 0.9

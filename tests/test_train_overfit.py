@@ -19,6 +19,7 @@ TINY_EXTRACTOR = dict(
     sparse_channels=((8, 8, 8), (8, 8, 16), (16, 16, 16), (16, 16)),
     sparse_out_channels=16,
     sparse_stage_caps=(128, 128, 128, 128),
+    pillar_caps=(128, 128, 128, 128),
     second_channels=(16, 32),
     second_layers=(1, 1),
     fpn_channels=(16, 16),
