@@ -9,6 +9,7 @@ multimodal model (two agents = roughly twice the work of the A100 row).
 """
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -55,7 +56,7 @@ def main():
     t0 = time.time()
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     jax.block_until_ready(variables)
-    print(f"# init: {time.time() - t0:.1f}s", flush=True)
+    print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     @jax.jit
     def forward(variables, batch):
@@ -69,7 +70,8 @@ def main():
 
     t0 = time.time()
     float(forward(variables, batch))
-    print(f"# first forward (compile): {time.time() - t0:.1f}s", flush=True)
+    print(f"# first forward (compile): {time.time() - t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     for _ in range(args.warmup):
         float(forward(variables, batch))

@@ -30,10 +30,8 @@ def main():
         from cmtcoop_tpu.data.converters import a9_nusc
         a9_nusc.convert_all(args.root_path, args.out_dir)
     else:
-        raise SystemExit(
-            "nuscenes conversion uses the official devkit pkl format; "
-            "point --data-root at infos generated by mmdet3d/nuscenes "
-            "tooling (supported natively by CustomNuScenesDataset).")
+        from cmtcoop_tpu.data.converters import nuscenes
+        nuscenes.convert_all(args.root_path, args.out_dir)
 
 
 if __name__ == "__main__":
