@@ -260,11 +260,19 @@ class CmtHead(nn.Module):
             key, (b, groups, g, 3), minval=-1.0, maxval=1.0)
         centers = gt_boxes[:, None, :, :3]
         diff = gt_boxes[:, None, :, 3:6] / 2.0 + self.noise_trans
-        noisy = centers + rand * diff * self.noise_scale
-        n01 = jnp.clip(normalize_01(noisy, self.pc_range), 0.0, 1.0)
-        over_split = jnp.linalg.norm(rand, axis=-1) > self.split
         labels_rep = jnp.broadcast_to(gt_labels[:, None, :], (b, groups, g))
-        known_labels = jnp.where(over_split, self.total_classes, labels_rep)
+        if self.noise_scale > 0:
+            # noise + the background split-flip both live inside the
+            # `if bbox_noise_scale > 0` branch (cmt_head.py:364-377)
+            noisy = centers + rand * diff * self.noise_scale
+            n01 = jnp.clip(normalize_01(noisy, self.pc_range), 0.0, 1.0)
+            over_split = jnp.linalg.norm(rand, axis=-1) > self.split
+            known_labels = jnp.where(
+                over_split, self.total_classes, labels_rep)
+        else:
+            n01 = jnp.clip(
+                normalize_01(centers + 0 * rand, self.pc_range), 0.0, 1.0)
+            known_labels = labels_rep
         boxes_rep = jnp.broadcast_to(
             gt_boxes[:, None, :, :], (b, groups, g, gt_boxes.shape[-1]))
         valid = jnp.broadcast_to(gt_mask[:, None, :], (b, groups, g))
