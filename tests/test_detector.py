@@ -133,3 +133,60 @@ def test_coop_fusion_detector(rng):
     for t in task_outs:
         for val in t.values():
             assert np.isfinite(np.asarray(val)).all()
+
+
+@pytest.mark.slow
+def test_coop_camera_only_detector(rng):
+    """Camera-only cooperative path (CmtImageHeadCoop equivalent)."""
+    det = CmtCoopDetector(
+        use_lidar=False, use_camera=True,
+        extractor_kwargs=TINY_EXTRACTOR, head_kwargs=TINY_HEAD)
+    batch = {k: v for k, v in _coop_fusion_batch(rng).items()
+             if "points" not in k}
+    variables = det.init(jax.random.PRNGKey(0), batch)
+    (task_outs, _), _ = det.apply(variables, batch,
+                                  mutable=["batch_stats"])
+    assert task_outs[0]["center"].shape == (2, 1, 32, 2)
+    for t in task_outs:
+        for val in t.values():
+            assert np.isfinite(np.asarray(val)).all()
+
+
+def test_lidar_agent_max_fusion_matches_manual(rng):
+    """Coop max fusion: with identical agents the fused output equals the
+    single-agent output (max(x, x) == x)."""
+    det2 = CmtCoopDetector(
+        use_camera=False, extractor_kwargs=TINY_EXTRACTOR,
+        head_kwargs=TINY_HEAD)
+    b = _lidar_batch(rng, b=1)
+    batch2 = {
+        "vehicle_points": b["points"],
+        "vehicle_points_mask": b["points_mask"],
+        "infrastructure_points": b["points"],
+        "infrastructure_points_mask": b["points_mask"],
+    }
+    v2 = det2.init(jax.random.PRNGKey(0), batch2)
+    # make both agents identical so max(x, x) == x
+    v2 = jax.tree.map(lambda x: x, v2)
+    v2["params"]["infrastructure_model"] = v2["params"]["vehicle_model"]
+    v2["batch_stats"]["infrastructure_model"] = v2["batch_stats"][
+        "vehicle_model"]
+    (coop_outs, _), _ = det2.apply(v2, batch2, mutable=["batch_stats"])
+
+    det1 = CmtCoopDetector(
+        use_camera=False, agents=("vehicle",),
+        extractor_kwargs=TINY_EXTRACTOR, head_kwargs=TINY_HEAD)
+    v1 = det1.init(jax.random.PRNGKey(0), batch2)
+    # share the vehicle extractor + head params; infra params unused
+    v1 = jax.tree.map(lambda x: x, v1)
+    v1["params"]["vehicle_model"] = v2["params"]["vehicle_model"]
+    v1["params"]["pts_bbox_head"] = v2["params"]["pts_bbox_head"]
+    v1["batch_stats"]["vehicle_model"] = v2["batch_stats"]["vehicle_model"]
+    if "pts_bbox_head" in v2.get("batch_stats", {}):
+        v1["batch_stats"]["pts_bbox_head"] = v2["batch_stats"][
+            "pts_bbox_head"]
+    (single_outs, _), _ = det1.apply(v1, batch2, mutable=["batch_stats"])
+    # identical agents -> max fusion equals single-agent decode
+    np.testing.assert_allclose(
+        np.asarray(coop_outs[0]["cls_logits"]),
+        np.asarray(single_outs[0]["cls_logits"]), rtol=2e-3, atol=2e-3)

@@ -27,6 +27,8 @@ def parse_args():
     ap.add_argument("--out", default=None, help="write detections json")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--max-samples", type=int, default=None)
+    ap.add_argument("--cfg-options", nargs="*", default=None,
+                    help="preset field overrides, key=value")
     return ap.parse_args()
 
 
@@ -44,6 +46,9 @@ def main():
     from cmtcoop_tpu.models.build import build_detector
 
     preset = get_preset(args.preset)
+    if getattr(args, "cfg_options", None):
+        from cmtcoop_tpu.utils.config import apply_overrides
+        preset = apply_overrides(preset, args.cfg_options)
     dtype = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[args.dtype]
     model = build_detector(preset, train=False, dtype=dtype)
     ds, loader = build_test_loader(

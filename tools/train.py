@@ -39,6 +39,8 @@ def parse_args():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--num-workers", type=int, default=6)
+    ap.add_argument("--cfg-options", nargs="*", default=None,
+                    help="preset field overrides, key=value")
     return ap.parse_args()
 
 
@@ -56,6 +58,9 @@ def main():
     from cmtcoop_tpu.train.trainer import Trainer
 
     preset = get_preset(args.preset)
+    if getattr(args, "cfg_options", None):
+        from cmtcoop_tpu.utils.config import apply_overrides
+        preset = apply_overrides(preset, args.cfg_options)
     work_dir = args.work_dir or f"runs/{preset.name}"
     dtype = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[args.dtype]
     mesh = make_mesh()
