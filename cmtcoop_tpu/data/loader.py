@@ -9,7 +9,7 @@ Python overhead.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
@@ -56,17 +56,38 @@ class PrefetchLoader:
                 yield futures.popleft().result()
 
 
+DEFAULT_SAMPLE_GROUPS = dict(  # coop config:70-78
+    CAR=2, TRAILER=5, TRUCK=3, VAN=3, PEDESTRIAN=7, BUS=5, BICYCLE=7)
+
+
 def build_train_loader(preset: Preset, data_root: str, batch_size: int,
                        num_workers: int = 6, seed: int = 0,
                        use_cbgs: bool = True,
-                       db_sampler_cfg: Optional[dict] = None):
+                       db_sampler_cfg: Optional[dict] = None,
+                       modal_mask: bool = False):
+    import os
     prefixes = (("vehicle_", "infrastructure_")
                 if preset.domain == "coop" else ("",))
     db_sampler = None
     if db_sampler_cfg:
         db_sampler = DataBaseSampler(**db_sampler_cfg)
+    else:
+        # auto-wire the GT-paste database when present (dbinfos built by
+        # tools/create_data.py, coop config:49-84)
+        dbinfos = os.path.join(
+            data_root, preset.ann_prefix.replace("infos", "dbinfos")
+            + "_train.pkl")
+        if os.path.exists(dbinfos):
+            db_sampler = DataBaseSampler(
+                info_path=dbinfos, data_root=data_root,
+                sample_groups={k: v for k, v in
+                               DEFAULT_SAMPLE_GROUPS.items()
+                               if k in preset.class_names},
+                classes=preset.class_names,
+                filter_by_min_points={c: 5 for c in preset.class_names})
     pipeline = build_pipeline(preset, training=True, prefixes=prefixes,
-                              db_sampler=db_sampler)
+                              db_sampler=db_sampler,
+                              modal_mask=modal_mask)
     cls = A9NuscCoopDataset if preset.domain == "coop" else A9NuscDataset
     ds = cls(
         ann_file=f"{data_root}/{preset.ann_prefix}_train.pkl",

@@ -18,7 +18,7 @@ occ (P, Z) bool, features (P, Z, C)); padding rows at the end.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
