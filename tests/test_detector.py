@@ -190,3 +190,25 @@ def test_lidar_agent_max_fusion_matches_manual(rng):
     np.testing.assert_allclose(
         np.asarray(coop_outs[0]["cls_logits"]),
         np.asarray(single_outs[0]["cls_logits"]), rtol=2e-3, atol=2e-3)
+
+
+def test_camera_only_single_agent(rng):
+    """CmtImageHead path: no lidar branch, query embed = bev + rv parts."""
+    det = CmtDetector(
+        use_lidar=False, use_camera=True,
+        extractor_kwargs=TINY_EXTRACTOR, head_kwargs=TINY_HEAD)
+    b, v, hw = 1, 2, (32, 64)
+    imgs = rng.normal(size=(b, v, *hw, 3)).astype(np.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32), (b, v, 1, 1))
+    batch = {
+        "imgs": jnp.asarray(imgs),
+        "lidar2img": jnp.asarray(l2i),
+        "img2lidar": jnp.asarray(np.linalg.inv(l2i)),
+    }
+    variables = det.init(jax.random.PRNGKey(0), batch)
+    (task_outs, _), _ = det.apply(variables, batch,
+                                  mutable=["batch_stats"])
+    assert task_outs[0]["center"].shape == (2, 1, 32, 2)
+    for t in task_outs:
+        for val in t.values():
+            assert np.isfinite(np.asarray(val)).all()
