@@ -208,9 +208,10 @@ def pillar_conv(
     p_out, kb = nbr.shape
     cout = weights.shape[2]
     z_out = (z_in + 2 * z_pad - kz) // z_stride + 1
-    # (kz, kb, cin, cout) -> conv kernel (KB, kz, Cin, Cout)
-    w4 = weights.reshape(kz, kb, cin, cout).transpose(1, 0, 2, 3).astype(
-        feats.dtype)
+    # (K=kz*kb z-major, Cin, Cout) -> 1D conv kernel (kz, KB*Cin, Cout):
+    # folding the BEV taps into the channel dim makes the contraction
+    # K = KB*kz*Cin (432 at C=16) instead of C — full MXU tiles.
+    w3 = weights.reshape(kz, kb * cin, cout).astype(feats.dtype)
 
     padded = jnp.concatenate(
         [feats, jnp.zeros((1, z_in, cin), feats.dtype)], axis=0)
@@ -220,13 +221,15 @@ def pillar_conv(
 
     def conv_chunk(nbr_c):
         tiles = padded[nbr_c]  # (chunk, KB, Z+2p, Cin), contiguous rows
+        x = tiles.transpose(0, 2, 1, 3).reshape(
+            nbr_c.shape[0], z_in + 2 * z_pad, kb * cin)
         out = jax.lax.conv_general_dilated(
-            tiles, w4,
-            window_strides=(1, z_stride), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            x, w3,
+            window_strides=(z_stride,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=jnp.float32,
             precision=precision)
-        return out[:, 0].astype(feats.dtype)  # (chunk, Z_out, Cout)
+        return out.astype(feats.dtype)  # (chunk, Z_out, Cout)
 
     if p_out <= chunk or p_out % chunk != 0:
         return conv_chunk(nbr)
