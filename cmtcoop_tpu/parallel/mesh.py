@@ -26,6 +26,14 @@ def make_mesh(num_dp: Optional[int] = None, num_mp: int = 1,
     devices = devices if devices is not None else jax.devices()
     if num_dp is None:
         num_dp = len(devices) // num_mp
+    if len(devices) < num_dp * num_mp:
+        raise ValueError(
+            f"make_mesh needs {num_dp}x{num_mp} devices but only "
+            f"{len(devices)} are visible ({devices[0].platform}). For a "
+            f"virtual multi-device CPU mesh, pin the platform BEFORE the "
+            f"JAX backend initializes: JAX_PLATFORMS=cpu plus "
+            f"jax.config.update('jax_num_cpu_devices', n) — see "
+            f"tests/conftest.py / __graft_entry__._pin_virtual_cpu_mesh.")
     dev = np.asarray(devices[: num_dp * num_mp]).reshape(num_dp, num_mp)
     return Mesh(dev, ("dp", "mp"))
 
