@@ -54,8 +54,8 @@ class MaskedBatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
-                 train: bool = False):
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray = None,
+                 train: bool = False, fold: bool = False):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -63,6 +63,13 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        if fold:
+            # eval-mode affine fold: y = x*eff_scale + eff_bias (for fused
+            # conv+BN kernels; x is only used for its channel count)
+            eff_scale = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            eff_bias = bias - ra_mean.value * eff_scale
+            return eff_scale, eff_bias
 
         if train:
             m = mask.reshape(-1).astype(jnp.float32)

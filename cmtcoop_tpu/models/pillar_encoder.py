@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from cmtcoop_tpu.models.layers import MaskedBatchNorm
 from cmtcoop_tpu.ops import pillars as pu
+from cmtcoop_tpu.ops.pillar_fused import fused_pillar_conv
 
 _conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
@@ -28,13 +29,41 @@ class PillarConv(nn.Module):
     z_stride: int = 1
     z_pad: int = 1
     dtype: Any = jnp.float32
+    # windowed-kernel tunables (see ops/pillar_fused.py); down-convs need a
+    # wider window because an output block's taps span 2x the BEV area
+    win: int = 512
 
     @nn.compact
-    def __call__(self, feats, nbr):
+    def __call__(self, feats, nbr, scale=None, bias=None, occ_out=None,
+                 residual=None, relu: bool = False, fused: bool = False):
         w = self.param(
             "kernel", _conv_init,
             (self.kernel_volume, feats.shape[-1], self.features),
             jnp.float32)
+        if fused:
+            has_occ = occ_out is not None
+            has_res = residual is not None
+            args = [feats.astype(self.dtype), nbr]
+            if has_occ:
+                args.append(occ_out)
+            if has_res:
+                args.append(residual.astype(self.dtype))
+
+            def one(a):
+                kw = {}
+                i = 2
+                if has_occ:
+                    kw["occ_out"] = a[i]
+                    i += 1
+                if has_res:
+                    kw["residual"] = a[i]
+                return fused_pillar_conv(
+                    a[0], a[1], w, kz=self.kz, z_stride=self.z_stride,
+                    z_pad=self.z_pad, scale=scale, bias=bias, relu=relu,
+                    win=self.win, **kw)
+            # sequential over batch: the kernel saturates the chip per
+            # sample, and lax.map keeps pallas_call out from under vmap
+            return jax.lax.map(one, tuple(args))
         return jax.vmap(
             lambda f, n: pu.pillar_conv(
                 f, n, w.astype(self.dtype), self.kz, self.z_stride,
@@ -43,21 +72,32 @@ class PillarConv(nn.Module):
 
 
 class PillarConvBlock(nn.Module):
-    """conv + masked BN + ReLU + occupancy mask."""
+    """conv + masked BN + ReLU + occupancy mask.
+
+    Eval runs the fused Pallas kernel (conv+BN+ReLU+mask in VMEM,
+    ops/pillar_fused.py); train keeps the unfused path because masked BN
+    needs batch statistics.
+    """
     features: int
     kernel_volume: int
     kz: int = 3
     z_stride: int = 1
     z_pad: int = 1
     dtype: Any = jnp.float32
+    win: int = 512
 
     @nn.compact
     def __call__(self, feats, nbr, occ_out, train: bool = False):
-        x = PillarConv(self.features, self.kernel_volume, self.kz,
-                       self.z_stride, self.z_pad, self.dtype,
-                       name="conv")(feats, nbr)
-        x = MaskedBatchNorm(dtype=self.dtype, name="bn")(
-            x, occ_out, train)
+        conv = PillarConv(self.features, self.kernel_volume, self.kz,
+                          self.z_stride, self.z_pad, self.dtype,
+                          win=self.win, name="conv")
+        bn = MaskedBatchNorm(dtype=self.dtype, name="bn")
+        if not train:
+            s, b = bn(jnp.zeros((1, self.features)), fold=True)
+            return conv(feats, nbr, scale=s, bias=b, occ_out=occ_out,
+                        relu=True, fused=True)
+        x = conv(feats, nbr)
+        x = bn(x, occ_out, train)
         return nn.relu(x) * occ_out[..., None]
 
 
@@ -65,18 +105,30 @@ class PillarBasicBlock(nn.Module):
     """SparseBasicBlock on pillar tiles (submanifold: same sites)."""
     features: int
     dtype: Any = jnp.float32
+    win: int = 512
 
     @nn.compact
     def __call__(self, feats, nbr, occ, train: bool = False):
         identity = feats
-        x = PillarConv(self.features, 27, 3, 1, 1, self.dtype,
-                       name="conv1")(feats, nbr)
-        x = MaskedBatchNorm(dtype=self.dtype, name="bn1")(x, occ, train)
+        conv1 = PillarConv(self.features, 27, 3, 1, 1, self.dtype,
+                           win=self.win, name="conv1")
+        bn1 = MaskedBatchNorm(dtype=self.dtype, name="bn1")
+        conv2 = PillarConv(self.features, 27, 3, 1, 1, self.dtype,
+                           win=self.win, name="conv2")
+        bn2 = MaskedBatchNorm(dtype=self.dtype, name="bn2")
+        if not train:
+            s1, b1 = bn1(jnp.zeros((1, self.features)), fold=True)
+            s2, b2 = bn2(jnp.zeros((1, self.features)), fold=True)
+            x = conv1(feats, nbr, scale=s1, bias=b1, occ_out=occ,
+                      relu=True, fused=True)
+            return conv2(x, nbr, scale=s2, bias=b2, occ_out=occ,
+                         residual=identity, relu=True, fused=True)
+        x = conv1(feats, nbr)
+        x = bn1(x, occ, train)
         x = nn.relu(x)
         x = x * occ[..., None]
-        x = PillarConv(self.features, 27, 3, 1, 1, self.dtype,
-                       name="conv2")(x, nbr)
-        x = MaskedBatchNorm(dtype=self.dtype, name="bn2")(x, occ, train)
+        x = conv2(x, nbr)
+        x = bn2(x, occ, train)
         return nn.relu(x + identity) * occ[..., None]
 
 
@@ -139,7 +191,7 @@ class PillarSparseEncoder(nn.Module):
                     lambda o, n, zp=zp: pu.occ_downsample(o, n, 3, 2, zp)
                 )(occ, nbr_dn)
                 x = PillarConvBlock(
-                    out_ch, 27, 3, 2, zp, self.dtype,
+                    out_ch, 27, 3, 2, zp, self.dtype, win=1024,
                     name=f"stage{i}_down")(x, nbr_dn, occ_new, train)
                 grid, occ = out_grid, occ_new
                 nbr = vnbr(grid)

@@ -1,0 +1,102 @@
+"""Parity tests for the fused Pallas pillar conv (ops/pillar_fused.py).
+
+Run in Pallas interpret mode on the CPU backend; the compiled TPU path is
+exercised by bench.py / tools/tpu_pillar_probe.py on hardware. The oracle is
+the unfused XLA path (ops.pillars.pillar_conv + explicit epilogue), itself
+parity-tested against the gather encoder.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cmtcoop_tpu.ops import pillars as pu
+from cmtcoop_tpu.ops.pillar_fused import _xla_reference, fused_pillar_conv
+
+
+def _grid(rng, hw=(32, 32), z=8, p_cap=256, density=0.35):
+    h, w = hw
+    occ_bev = rng.uniform(size=(h, w)) < density
+    ys, xs = np.nonzero(occ_bev)
+    n = min(len(ys), p_cap)
+    coords = np.full((p_cap, 2), -1, np.int32)
+    coords[:n, 0], coords[:n, 1] = ys[:n], xs[:n]
+    mask = np.zeros((p_cap,), bool)
+    mask[:n] = True
+    return pu.PillarGrid(jnp.asarray(coords), jnp.asarray(mask), hw, z), n
+
+
+@pytest.fixture
+def setup(rng):
+    grid, n = _grid(rng)
+    z, c, co = grid.z, 4, 6
+    p = grid.coords.shape[0]
+    nbr = pu.pillar_neighbor_map(grid)
+    occ = rng.uniform(size=(p, z)) < 0.5
+    occ &= np.asarray(grid.mask)[:, None]
+    feats = (rng.normal(size=(p, z, c)) * occ[..., None]).astype(np.float32)
+    w = rng.normal(size=(27, c, co)).astype(np.float32) * 0.3
+    return grid, jnp.asarray(feats), nbr, jnp.asarray(w), jnp.asarray(occ)
+
+
+def _check(a, b, tol=1e-5):
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32),
+        atol=tol, rtol=tol)
+
+
+def test_plain_conv_matches_reference(setup):
+    _, feats, nbr, w, _ = setup
+    got = fused_pillar_conv(feats, nbr, w, interpret=True)
+    ref = _xla_reference(feats, nbr, w, 3, 1, 1,
+                         None, None, None, None, False)
+    _check(got, ref)
+
+
+def test_full_epilogue(setup, rng):
+    """scale+bias+residual+relu+occupancy in one kernel == unfused chain."""
+    _, feats, nbr, w, occ = setup
+    p, z, _ = feats.shape
+    co = w.shape[2]
+    scale = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+    resid = jnp.asarray(rng.normal(size=(p, z, co)).astype(np.float32))
+    got = fused_pillar_conv(
+        feats, nbr, w, scale=scale, bias=bias, occ_out=occ,
+        residual=resid, relu=True, interpret=True)
+    ref = _xla_reference(feats, nbr, w, 3, 1, 1,
+                         scale, bias, occ, resid, True)
+    _check(got, ref)
+
+
+def test_down_conv_stride2(setup, rng):
+    """Strided conv (kz=3, s=2) through a downsample gather map."""
+    grid, feats, _, w, _ = setup
+    out_grid = pu.pillar_downsample_grid(grid, 128)
+    nbr_dn = pu.pillar_conv_neighbor_map(grid, out_grid)
+    for zp in (1, 0):
+        got = fused_pillar_conv(
+            feats, nbr_dn, w, z_stride=2, z_pad=zp, relu=True,
+            interpret=True)
+        ref = _xla_reference(feats, nbr_dn, w, 3, 2, zp,
+                             None, None, None, None, True)
+        _check(got, ref)
+
+
+def test_window_overflow_falls_back_exactly(setup):
+    """A window too small for the spans must trigger the exact fallback
+    (lax.cond), not silently drop neighbor contributions."""
+    _, feats, nbr, w, _ = setup
+    got = fused_pillar_conv(feats, nbr, w, win=8, interpret=True)
+    ref = _xla_reference(feats, nbr, w, 3, 1, 1,
+                         None, None, None, None, False)
+    _check(got, ref)
+
+
+def test_unsupported_shape_uses_xla_path(setup):
+    """P_out not a multiple of bp routes to the XLA path (still correct)."""
+    _, feats, nbr, w, _ = setup
+    got = fused_pillar_conv(feats, nbr[:100], w, interpret=True)
+    ref = _xla_reference(feats, nbr[:100], w, 3, 1, 1,
+                         None, None, None, None, False)
+    _check(got, ref)
