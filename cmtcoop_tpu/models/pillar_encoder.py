@@ -154,8 +154,12 @@ class PillarSparseEncoder(nn.Module):
         grid = pu.PillarGrid(pcoords, pmask, (h, w), d)
 
         def vnbr(g):
-            return jax.vmap(lambda c, m: pu.pillar_neighbor_map(
-                pu.PillarGrid(c, m, g.hw, g.z)))(g.coords, g.mask)
+            # lax.map, not vmap: the exactness guard inside the lookup is a
+            # lax.cond that must stay a real branch (vmap -> select would
+            # always execute the expensive exact fallback)
+            return jax.lax.map(lambda cm: pu.pillar_neighbor_map(
+                pu.PillarGrid(cm[0], cm[1], g.hw, g.z)),
+                (g.coords, g.mask))
 
         nbr = vnbr(grid)
         x = PillarConvBlock(self.base_channels, 27, 3, 1, 1, self.dtype,
@@ -175,13 +179,14 @@ class PillarSparseEncoder(nn.Module):
                 cap = self.pillar_caps[min(i + 1,
                                            len(self.pillar_caps) - 1)]
                 def vdown(g, cap=cap):
-                    def one(c, m):
+                    def one(cm):
+                        c, m = cm
                         og = pu.pillar_downsample_grid(
                             pu.PillarGrid(c, m, g.hw, g.z), cap)
                         nb = pu.pillar_conv_neighbor_map(
                             pu.PillarGrid(c, m, g.hw, g.z), og)
                         return og.coords, og.mask, nb
-                    oc, om, nb = jax.vmap(one)(g.coords, g.mask)
+                    oc, om, nb = jax.lax.map(one, (g.coords, g.mask))
                     oh = (g.hw[0] + 2 - 3) // 2 + 1
                     ow = (g.hw[1] + 2 - 3) // 2 + 1
                     return pu.PillarGrid(oc, om, (oh, ow), g.z), nb

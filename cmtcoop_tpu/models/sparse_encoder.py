@@ -33,21 +33,26 @@ from cmtcoop_tpu.ops import sparse_utils as su
 _conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+# lax.map (not vmap) around the lookups: the exactness guard inside is a
+# lax.cond that must stay a real branch (vmap -> select would execute the
+# expensive exact fallback unconditionally)
 def _batched_subm_map(coords, mask, shape, kernel):
-    def one(c, m):
-        return su.subm_neighbor_map(su.SparseGrid(c, m, shape), kernel)
-    return jax.vmap(one)(coords, mask)
+    def one(cm):
+        return su.subm_neighbor_map(
+            su.SparseGrid(cm[0], cm[1], shape), kernel)
+    return jax.lax.map(one, (coords, mask))
 
 
 def _batched_downsample(coords, mask, shape, kernel, stride, padding,
                         max_out):
-    def one(c, m):
+    def one(cm):
+        c, m = cm
         g = su.downsample_output_grid(
             su.SparseGrid(c, m, shape), kernel, stride, padding, max_out)
         nbr = su.conv_neighbor_map(
             su.SparseGrid(c, m, shape), g, kernel, stride, padding)
         return g.coords, g.mask, nbr
-    out_coords, out_mask, nbr = jax.vmap(one)(coords, mask)
+    out_coords, out_mask, nbr = jax.lax.map(one, (coords, mask))
     out_shape = tuple(
         (shape[a] + 2 * padding[a] - kernel[a]) // stride[a] + 1
         for a in range(3))

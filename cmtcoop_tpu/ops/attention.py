@@ -142,6 +142,12 @@ def attend(q, k, v, bias=None, k_bias=None, impl: str = "auto",
     (masked out via the per-key bias), so the eval-time 900-query x ~48k-key
     cross-attention takes the flash path too."""
     nq, nk = q.shape[2], k.shape[2]
+    if impl == "flash" and bias is not None:
+        # the flash kernel only supports a per-key bias; silently dropping
+        # a full (.., Nq, Nk) bias would un-mask DN self-attention
+        raise ValueError(
+            "attend(impl='flash') cannot apply a 2D attention bias; use "
+            "k_bias for KV padding or impl='auto'/'reference' for DN masks")
     use_flash = (
         impl == "flash"
         or (impl == "auto" and bias is None and nk >= 4096

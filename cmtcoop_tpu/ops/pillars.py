@@ -23,7 +23,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from cmtcoop_tpu.ops.sparse_utils import INT32_MAX, sorted_lookup
+from cmtcoop_tpu.ops.sparse_utils import (INT32_MAX, guarded_lookup,
+                                          sorted_lookup)
 
 
 class PillarGrid(NamedTuple):
@@ -65,6 +66,9 @@ def build_pillars(
     scoords = voxel_coords[order]
     svalid = voxel_mask[order]
 
+    # rank-lookup window bound by construction (block 32 * <= z_extent
+    # duplicates per pillar rank must fit the 2048 window)
+    assert z_extent <= 64, z_extent
     pil_lin = jnp.where(svalid, skey // z_extent, INT32_MAX)
     head = jnp.concatenate(
         [jnp.ones((1,), bool), pil_lin[1:] != pil_lin[:-1]]) & svalid
@@ -96,7 +100,8 @@ def build_pillars(
 
 
 def pillar_neighbor_map(grid: PillarGrid,
-                        ky: int = 3, kx: int = 3) -> jnp.ndarray:
+                        ky: int = 3, kx: int = 3,
+                        exact=None) -> jnp.ndarray:
     """(P, ky*kx) gather map of BEV neighbor pillars (misses -> P)."""
     p = grid.coords.shape[0]
     h, w = grid.hw
@@ -110,8 +115,8 @@ def pillar_neighbor_map(grid: PillarGrid,
     qlin = nbr[..., 0] * w + nbr[..., 1]
     qlin = jnp.where(grid.mask[:, None], qlin, INT32_MAX)
 
-    pos_t, hit_t = jax.vmap(
-        lambda col: sorted_lookup(lin, col))(jnp.swapaxes(qlin, 0, 1))
+    pos_t, hit_t = guarded_lookup(lin, jnp.swapaxes(qlin, 0, 1),
+                                  exact=exact)
     pos = jnp.swapaxes(pos_t, 0, 1)
     hit = jnp.swapaxes(hit_t, 0, 1) & valid
     return jnp.where(hit, jnp.minimum(pos, p - 1), p)
@@ -152,7 +157,9 @@ def pillar_downsample_grid(grid: PillarGrid, max_out: int,
     n_uniq = jnp.maximum(
         jnp.max(jnp.where(rank == INT32_MAX, -1, rank)) + 1, 0)
     slots = jnp.arange(max_out, dtype=jnp.int32)
-    pos, _ = sorted_lookup(rank, slots, window=1024)
+    # window bound by construction: <= k*k inputs nominate one output cell,
+    # so a 128-slot block spans <= 128*9 = 1152 duplicate ranks
+    pos, _ = sorted_lookup(rank, slots, window=2048)
     uniq = slin[jnp.minimum(pos, slin.shape[0] - 1)]
     out_mask = slots < n_uniq
     coords = jnp.where(
@@ -163,7 +170,7 @@ def pillar_downsample_grid(grid: PillarGrid, max_out: int,
 
 def pillar_conv_neighbor_map(in_grid: PillarGrid, out_grid: PillarGrid,
                              stride: int = 2, k: int = 3,
-                             pad: int = 1) -> jnp.ndarray:
+                             pad: int = 1, exact=None) -> jnp.ndarray:
     """(P_out, k*k) gather map into input pillars for a strided BEV conv."""
     p_in = in_grid.coords.shape[0]
     h, w = in_grid.hw
@@ -176,9 +183,8 @@ def pillar_conv_neighbor_map(in_grid: PillarGrid, out_grid: PillarGrid,
              out_grid.mask[:, None])
     qlin = src[..., 0] * w + src[..., 1]
     qlin = jnp.where(out_grid.mask[:, None], qlin, INT32_MAX)
-    pos_t, hit_t = jax.vmap(
-        lambda col: sorted_lookup(lin, col, window=1024))(
-        jnp.swapaxes(qlin, 0, 1))
+    pos_t, hit_t = guarded_lookup(lin, jnp.swapaxes(qlin, 0, 1),
+                                  window=1024, exact=exact)
     pos = jnp.swapaxes(pos_t, 0, 1)
     hit = jnp.swapaxes(hit_t, 0, 1) & valid
     return jnp.where(hit, jnp.minimum(pos, p_in - 1), p_in)

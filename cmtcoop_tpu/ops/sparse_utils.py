@@ -33,8 +33,10 @@ class SparseGrid(NamedTuple):
 
 def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
                   block: int = 128, window: int = 512,
-                  exact: Optional[bool] = None):
-    """(positions, hit) of *sorted* int32 queries in sorted int32 keys.
+                  exact: Optional[bool] = None,
+                  return_overflow: bool = False):
+    """(positions, hit[, overflow]) of *sorted* int32 queries in sorted
+    int32 keys.
 
     XLA's searchsorted gathers one scalar per query per bisection step,
     which runs ~1000x off HBM peak on TPU (measured: 393 ms for 3.2M
@@ -45,10 +47,11 @@ def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
 
     Exact iff no query block spans more than `window` keys — guaranteed when
     queries are at least as locally dense as keys (e.g. dense-cell queries,
-    or neighbor queries that include the identity shift); approximate (and
-    clamped in-range, biased to "miss") across extreme density transitions
-    otherwise. `exact=True` falls back to jnp.searchsorted (used on CPU /
-    in oracles).
+    or rank queries with a bounded duplicate count). Callers whose query
+    distribution is NOT guaranteed (neighbor maps across extreme density
+    transitions) must pass `return_overflow=True` and fall back to the
+    exact path when the flag fires — see `lookup`. `exact=True` uses
+    jnp.searchsorted (CPU default / oracle).
     """
     n = queries.shape[0]
     nk = keys.shape[0]
@@ -56,6 +59,8 @@ def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
         pos = jnp.searchsorted(keys, queries, side="left").astype(jnp.int32)
         pos_c = jnp.minimum(pos, nk - 1)
         hit = (keys[pos_c] == queries) & (pos < nk)
+        if return_overflow:
+            return pos, hit, jnp.zeros((), bool)
         return pos, hit
 
     pad = (-n) % block
@@ -96,12 +101,52 @@ def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
         body, (zeros, zeros), jnp.arange(window // chunk))
     pos = jnp.minimum(starts[:, None] + lt, next_starts[:, None])
     hit = (le > lt) & (q_blocks != big)
+    if return_overflow:
+        # a block is resolved exactly iff every key its REAL queries can
+        # map to lies inside the window: the insertion point (side=right,
+        # so the equal key is included) of the block's last real query must
+        # be within `window` of the block start. Sentinel (big) queries
+        # never hit, so they don't constrain the window.
+        neg = jnp.iinfo(jnp.int32).min
+        q_last = jnp.max(jnp.where(q_blocks == big, neg, q_blocks), axis=1)
+        ends = jnp.searchsorted(
+            keys, q_last, side="right").astype(jnp.int32)
+        overflow = jnp.any(ends - starts > window)
+        return pos.reshape(-1)[:n], hit.reshape(-1)[:n], overflow
     return pos.reshape(-1)[:n], hit.reshape(-1)[:n]
+
+
+def guarded_lookup(keys: jnp.ndarray, qlin_t: jnp.ndarray,
+                   exact: Optional[bool] = None,
+                   window: int = 512):
+    """Columnwise windowed lookup of (K, N) sorted query columns with a
+    runtime exactness guard: if any block window overflows (extreme density
+    transition), recompute ALL columns with exact searchsorted via lax.cond
+    — never silently wrong (the windowed result is biased to 'miss').
+
+    NOTE: must not be called under jax.vmap (cond would become select and
+    execute the expensive exact branch unconditionally) — batch with
+    jax.lax.map instead, as the encoders do."""
+    if exact or (exact is None and jax.default_backend() == "cpu"):
+        return jax.vmap(
+            lambda col: sorted_lookup(keys, col, exact=True))(qlin_t)
+    pos_t, hit_t, ovf = jax.vmap(
+        lambda col: sorted_lookup(keys, col, window=window, exact=exact,
+                                  return_overflow=True))(qlin_t)
+
+    def exact_all(_):
+        p, h = jax.vmap(
+            lambda col: sorted_lookup(keys, col, exact=True))(qlin_t)
+        return p, h
+
+    return jax.lax.cond(
+        jnp.any(ovf), exact_all, lambda _: (pos_t, hit_t), None)
 
 
 def lookup(grid: SparseGrid, query_coords: jnp.ndarray,
            query_valid: jnp.ndarray,
-           row_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+           row_mask: Optional[jnp.ndarray] = None,
+           exact: Optional[bool] = None) -> jnp.ndarray:
     """Find the row index of each query coordinate in `grid`.
 
     Args:
@@ -125,8 +170,7 @@ def lookup(grid: SparseGrid, query_coords: jnp.ndarray,
 
     # vmapped over the K kernel offsets; the chunked count inside
     # sorted_lookup bounds the peak intermediate to (K, nb, block, chunk)
-    pos_t, hit_t = jax.vmap(
-        lambda col: sorted_lookup(lin, col))(jnp.swapaxes(qlin, 0, 1))
+    pos_t, hit_t = guarded_lookup(lin, jnp.swapaxes(qlin, 0, 1), exact=exact)
     pos = jnp.swapaxes(pos_t, 0, 1)
     hit = jnp.swapaxes(hit_t, 0, 1) & query_valid
     return jnp.where(hit, jnp.minimum(pos, v - 1), v)

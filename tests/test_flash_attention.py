@@ -35,3 +35,16 @@ def test_flash_kv_padding_mask(rng):
         jnp.asarray(v[:, :, :200])))
     ours = np.asarray(_flash(q, k, v, kb))
     np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=2e-4)
+
+
+def test_forced_flash_rejects_2d_bias():
+    """attend(impl='flash') must refuse a full attention bias rather than
+    silently dropping it (it would un-mask DN self-attention)."""
+    import pytest as _pytest
+    from cmtcoop_tpu.ops.attention import attend
+    q = jnp.zeros((1, 2, 8, 16))
+    k = jnp.zeros((1, 2, 32, 16))
+    v = jnp.zeros((1, 2, 32, 16))
+    bias = jnp.zeros((1, 1, 8, 32))
+    with _pytest.raises(ValueError, match="2D attention bias"):
+        attend(q, k, v, bias=bias, impl="flash")

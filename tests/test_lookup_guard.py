@@ -1,0 +1,79 @@
+"""Exactness guard for the windowed sorted-merge lookup (VERDICT r1 #4).
+
+The windowed path (`sorted_lookup(exact=False)`) is only exact when no
+128-query block spans more than `window` keys. These tests build extreme
+density transitions that BREAK that invariant (the round-1 kernel silently
+missed neighbors there) and assert the guarded entry points now detect the
+overflow and fall back to exact search.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from cmtcoop_tpu.ops import pillars as pu
+from cmtcoop_tpu.ops import sparse_utils as su
+
+
+def _adversarial_keys_queries():
+    # keys: one ultra-dense cluster of 5000 consecutive ints in the middle
+    # of a sparse field; queries: sparse strides crossing the cluster, so a
+    # single 128-query block spans ~5000 keys >> window 512
+    keys = np.concatenate([
+        np.arange(0, 1000, 97),
+        np.arange(10000, 15000),          # dense cluster
+        np.arange(20000, 30000, 131),
+    ]).astype(np.int32)
+    queries = np.arange(0, 30000, 237).astype(np.int32)
+    return jnp.asarray(np.sort(keys)), jnp.asarray(np.sort(queries))
+
+
+def test_windowed_lookup_detects_overflow():
+    keys, queries = _adversarial_keys_queries()
+    pos_w, hit_w, ovf = su.sorted_lookup(
+        keys, queries, exact=False, return_overflow=True)
+    assert bool(ovf), "overflow must be flagged on extreme density jumps"
+    # and the un-guarded windowed result really IS wrong here (this is the
+    # round-1 silent failure this guard exists for)
+    pos_e, hit_e = su.sorted_lookup(keys, queries, exact=True)
+    assert not (np.array_equal(np.asarray(pos_w), np.asarray(pos_e))
+                and np.array_equal(np.asarray(hit_w), np.asarray(hit_e)))
+
+
+def test_guarded_lookup_falls_back_to_exact():
+    keys, queries = _adversarial_keys_queries()
+    pos, hit = su.guarded_lookup(keys, queries[None, :], exact=False)
+    pos_e, hit_e = su.sorted_lookup(keys, queries, exact=True)
+    np.testing.assert_array_equal(np.asarray(pos[0]), np.asarray(pos_e))
+    np.testing.assert_array_equal(np.asarray(hit[0]), np.asarray(hit_e))
+
+
+def test_guarded_lookup_keeps_fast_result_when_safe():
+    keys = jnp.asarray(np.arange(0, 4096, 2, dtype=np.int32))
+    queries = jnp.asarray(np.arange(0, 4096, 2, dtype=np.int32))
+    pos, hit = su.guarded_lookup(keys, queries[None, :], exact=False)
+    pos_e, hit_e = su.sorted_lookup(keys, queries, exact=True)
+    np.testing.assert_array_equal(np.asarray(pos[0]), np.asarray(pos_e))
+    np.testing.assert_array_equal(np.asarray(hit[0]), np.asarray(hit_e))
+
+
+def test_pillar_neighbor_map_exact_across_density_wall():
+    """A sparse row next to a fully-dense BEV row: the +1-row offset queries
+    of the sparse row span the entire dense row (>512 keys). The guarded
+    map must equal the exact oracle."""
+    h = w = 1440
+    sparse_y = np.stack([np.zeros(128, np.int64),
+                         np.arange(0, 1280, 10)], -1)      # row 0, sparse
+    dense_y = np.stack([np.ones(1440, np.int64),
+                        np.arange(1440)], -1)              # row 1, dense
+    coords = np.concatenate([sparse_y, dense_y]).astype(np.int32)
+    order = np.argsort(coords[:, 0].astype(np.int64) * w + coords[:, 1])
+    coords = coords[order]
+    p_cap = 2048
+    pad = np.full((p_cap - len(coords), 2), -1, np.int32)
+    mask = np.zeros((p_cap,), bool)
+    mask[: len(coords)] = True
+    grid = pu.PillarGrid(
+        jnp.asarray(np.concatenate([coords, pad])), jnp.asarray(mask),
+        (h, w), 8)
+    got = np.asarray(pu.pillar_neighbor_map(grid, exact=False))
+    ref = np.asarray(pu.pillar_neighbor_map(grid, exact=True))
+    np.testing.assert_array_equal(got, ref)
