@@ -28,6 +28,7 @@ from cmtcoop_tpu.models.second import SECOND, SECONDFPN
 from cmtcoop_tpu.models.pillar_encoder import PillarSparseEncoder
 from cmtcoop_tpu.models.sparse_encoder import SparseEncoder
 from cmtcoop_tpu.models.vovnet import CPFPN, VoVNet
+from cmtcoop_tpu.ops.pillars import pillarize
 from cmtcoop_tpu.ops.voxelize import hard_simple_vfe, voxelize
 
 
@@ -112,17 +113,32 @@ class FeatureExtractor(nn.Module):
         return f0.reshape(b, v, *f0.shape[1:])
 
     def extract_pts_feat(self, points, points_mask) -> jnp.ndarray:
-        vox = jax.vmap(
-            lambda p, m: voxelize(
-                p, m, voxel_size=tuple(self.voxel_size),
-                pc_range=tuple(self.pc_range),
-                grid_size=tuple(self.grid_size),
-                max_points=self.max_points_per_voxel,
-                max_voxels=self.max_voxels)
-        )(points, points_mask)
-        feats = jax.vmap(hard_simple_vfe)(vox)
-        bev = self.pts_middle_encoder(
-            feats, vox.coords, vox.mask, self.train_mode)
+        if self.encoder_impl == "pillar":
+            # fused points->pillars path (one sort, no voxel tensors);
+            # lax.map keeps the overflow lax.cond a real branch
+            prebuilt = jax.lax.map(
+                lambda pm: pillarize(
+                    pm[0], pm[1], voxel_size=tuple(self.voxel_size),
+                    pc_range=tuple(self.pc_range),
+                    grid_size=tuple(self.grid_size),
+                    max_points=self.max_points_per_voxel,
+                    max_voxels=self.max_voxels,
+                    max_pillars=self.pillar_caps[0]),
+                (points, points_mask))
+            bev = self.pts_middle_encoder(
+                None, None, None, self.train_mode, prebuilt=prebuilt)
+        else:
+            vox = jax.vmap(
+                lambda p, m: voxelize(
+                    p, m, voxel_size=tuple(self.voxel_size),
+                    pc_range=tuple(self.pc_range),
+                    grid_size=tuple(self.grid_size),
+                    max_points=self.max_points_per_voxel,
+                    max_voxels=self.max_voxels)
+            )(points, points_mask)
+            feats = jax.vmap(hard_simple_vfe)(vox)
+            bev = self.pts_middle_encoder(
+                feats, vox.coords, vox.mask, self.train_mode)
         outs = self.pts_backbone(bev, self.train_mode)
         return self.pts_neck(outs, self.train_mode)
 

@@ -143,14 +143,21 @@ class PillarSparseEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, voxel_feats, coords, mask, train: bool = False):
+    def __call__(self, voxel_feats, coords, mask, train: bool = False,
+                 prebuilt=None):
         d, h, w = self.sparse_shape
 
-        def build(vf, c, m):
-            return pu.build_pillars(c, m, vf, (h, w), d,
-                                    self.pillar_caps[0])
-        pcoords, pmask, occ, x = jax.vmap(build)(
-            voxel_feats.astype(self.dtype), coords, mask)
+        if prebuilt is not None:
+            # (pcoords, pmask, occ, feats) from ops.pillars.pillarize —
+            # one fused sort on the raw points, no voxel tensors
+            pcoords, pmask, occ, x = prebuilt
+            x = x.astype(self.dtype)
+        else:
+            def build(vf, c, m):
+                return pu.build_pillars(c, m, vf, (h, w), d,
+                                        self.pillar_caps[0])
+            pcoords, pmask, occ, x = jax.vmap(build)(
+                voxel_feats.astype(self.dtype), coords, mask)
         grid = pu.PillarGrid(pcoords, pmask, (h, w), d)
 
         def vnbr(g):

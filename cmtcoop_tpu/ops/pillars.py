@@ -274,3 +274,125 @@ def pillars_to_dense(grid: PillarGrid, feats: jnp.ndarray) -> jnp.ndarray:
     rows = feats.reshape(p, z * c)
     dense = jnp.where(hit[:, None], rows[jnp.minimum(pos, p - 1)], 0.0)
     return dense.reshape(h, w, z * c)
+
+
+def pillarize(
+    points: jnp.ndarray,       # (N, F) padded, xyz first
+    point_mask: jnp.ndarray,   # (N,)
+    *,
+    voxel_size,
+    pc_range,
+    grid_size,                 # (X, Y, Z) cells
+    max_points: int = 10,
+    max_voxels: int = 120000,
+    max_pillars: int = 40000,
+    win: int = 128,
+):
+    """points -> pillar-dense tensors in ONE sort (replaces
+    voxelize + HardSimpleVFE + build_pillars for the pillar encoder path).
+
+    The round-1 three-step path cost ~42 ms/agent, dominated by tiny-row
+    gathers: the (V, 10, F) voxel fill and the 2M-slot dense fill. Here the
+    capped per-voxel means land directly in (P, Z, F) slots via one
+    per-pillar windowed one-hot einsum (contiguous 128-point windows, MXU
+    contraction) — no per-slot gathers at all. Semantics match the
+    reference exactly: hard-voxelize keeps the first `max_points` points
+    per voxel in original order (stable sort), voxels past `max_voxels`
+    and pillars past `max_pillars` are dropped in sorted order.
+
+    Returns (pcoords (P,2) int32 (y,x), pmask (P,), occ (P, Z) bool,
+    feats (P, Z, F) float32). Z = grid_z + 1 (spconv sparse_shape).
+    """
+    from cmtcoop_tpu.ops.voxelize import compute_voxel_coords
+
+    n, f = points.shape
+    zyx, valid = compute_voxel_coords(
+        points, point_mask, voxel_size, pc_range, grid_size)
+    gx, gy, gz = grid_size
+    z_extent = gz + 1
+    key = (zyx[:, 1] * gx + zyx[:, 2]) * z_extent + zyx[:, 0]
+    key = jnp.where(valid, key, INT32_MAX)
+
+    order = jnp.argsort(key)   # stable: ties keep original point order
+    skey = key[order]
+    spts = points[order].astype(jnp.float32)
+
+    bound = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    head = bound & (skey != INT32_MAX)
+    vrank = jnp.cumsum(head.astype(jnp.int32)) - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(bound, idx, -1))
+    pos_in_run = idx - run_start
+    # validity for SEGMENTATION: the max_points cap must not fragment
+    # voxel/pillar runs — it only excludes points from the sums below.
+    # Both cap masks are suffixes in sorted order, so runs stay contiguous.
+    valid_pt = (skey != INT32_MAX) & (vrank < max_voxels)
+
+    pil = jnp.where(valid_pt, skey // z_extent, INT32_MAX)
+    phead = jnp.concatenate(
+        [jnp.ones((1,), bool), pil[1:] != pil[:-1]]) & (pil != INT32_MAX)
+    prank = jnp.cumsum(phead.astype(jnp.int32)) - 1
+    n_pillars = jnp.maximum(
+        jnp.max(jnp.where(phead, prank, -1)) + 1, 0)
+    n_pillars = jnp.minimum(n_pillars, max_pillars)
+    ok = valid_pt & (pos_in_run < max_points) & (prank < max_pillars)
+
+    # pillar head positions, scatter-free: stable argsort of ~phead puts
+    # head positions first in ascending order
+    pstart = jnp.argsort(~phead).astype(jnp.int32)
+    if pstart.shape[0] < max_pillars:  # fewer points than pillar slots
+        pstart = jnp.concatenate(
+            [pstart, jnp.full((max_pillars - pstart.shape[0],), n,
+                              jnp.int32)])
+    pstart = pstart[:max_pillars]
+    pstart_ext = jnp.concatenate(
+        [pstart, jnp.full((1,), n, jnp.int32)])
+    pmask = jnp.arange(max_pillars, dtype=jnp.int32) < n_pillars
+    plin = jnp.where(pmask, skey[jnp.minimum(pstart, n - 1)] // z_extent, -1)
+    pcoords = jnp.where(
+        pmask[:, None],
+        jnp.stack([plin // gx, plin % gx], axis=-1), -1).astype(jnp.int32)
+
+    slot_of_point = jnp.where(ok, prank * z_extent + skey % z_extent,
+                              INT32_MAX)
+
+    def fast(_):
+        # per-pillar contiguous point window + one-hot slot matching
+        starts = jnp.minimum(pstart, max(n - win, 0))
+        spts_pad = jnp.concatenate(
+            [spts, jnp.zeros((win, f), jnp.float32)])
+        slot_pad = jnp.concatenate(
+            [slot_of_point, jnp.full((win,), INT32_MAX, jnp.int32)])
+        win_pts = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(spts_pad, (s, 0), (win, f))
+        )(starts)                                   # (P, win, F)
+        win_slot = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(slot_pad, (s,), (win,))
+        )(starts)                                   # (P, win)
+        slot_ids = (jnp.arange(max_pillars, dtype=jnp.int32)[:, None] *
+                    z_extent +
+                    jnp.arange(z_extent, dtype=jnp.int32)[None, :])
+        oh = (win_slot[:, None, :] == slot_ids[:, :, None])  # (P, Z, win)
+        ohf = oh.astype(jnp.float32)
+        sums = jnp.einsum("pqw,pwf->pqf", ohf, win_pts)
+        counts = jnp.sum(ohf, axis=-1)
+        return sums, counts
+
+    def slow(_):
+        # exact segment-sum fallback for pillars with > win points
+        seg = jnp.where(ok, slot_of_point, max_pillars * z_extent)
+        sums = jax.ops.segment_sum(
+            spts * ok[:, None], seg,
+            num_segments=max_pillars * z_extent + 1)[:-1]
+        counts = jax.ops.segment_sum(
+            ok.astype(jnp.float32), seg,
+            num_segments=max_pillars * z_extent + 1)[:-1]
+        return (sums.reshape(max_pillars, z_extent, f),
+                counts.reshape(max_pillars, z_extent))
+
+    overflow = jnp.any(pstart_ext[1:] - pstart_ext[:-1] > win)
+    sums, counts = jax.lax.cond(overflow, slow, fast, None)
+    occ = (counts > 0) & pmask[:, None]
+    feats = jnp.where(
+        occ[..., None], sums / jnp.maximum(counts, 1.0)[..., None], 0.0)
+    return pcoords, pmask, occ, feats

@@ -87,3 +87,64 @@ def test_voxelize_cap_points(rng):
         grid_size=GRID, max_points=10, max_voxels=64)
     assert int(np.asarray(out.mask).sum()) == 1
     assert int(np.asarray(out.num_points).max()) == 10
+
+
+def test_pillarize_matches_three_step_path():
+    """pillarize == voxelize -> HardSimpleVFE -> build_pillars, bit-for-bit
+    on the same cloud (same caps, same stable-sort tie order)."""
+    from cmtcoop_tpu.ops.pillars import build_pillars, pillarize
+    rng = np.random.default_rng(3)
+    n = 4000
+    pts = np.zeros((n, 5), np.float32)
+    pts[:, 0] = rng.uniform(-30, 30, n)
+    pts[:, 1] = rng.uniform(-30, 30, n)
+    pts[:, 2] = rng.uniform(-7.9, -0.1, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    # dense cluster to exercise the max_points cap
+    pts[:200, :3] = pts[0, :3] + rng.normal(0, 0.01, (200, 3))
+    mask = np.ones((n,), bool)
+    mask[-100:] = False
+    kw = dict(voxel_size=(0.2, 0.2, 0.25),
+              pc_range=(-32.0, -32.0, -8.0, 32.0, 32.0, 0.0),
+              grid_size=(320, 320, 32), max_points=10, max_voxels=4096)
+    vox = voxelize(jnp.asarray(pts), jnp.asarray(mask), **kw)
+    feats = hard_simple_vfe(vox)
+    pc0, pm0, occ0, f0 = build_pillars(
+        vox.coords, vox.mask, feats, (320, 320), 33, 2048)
+    pc1, pm1, occ1, f1 = pillarize(
+        jnp.asarray(pts), jnp.asarray(mask), max_pillars=2048, **kw)
+    np.testing.assert_array_equal(np.asarray(pm0), np.asarray(pm1))
+    np.testing.assert_array_equal(np.asarray(pc0), np.asarray(pc1))
+    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+    np.testing.assert_allclose(
+        np.asarray(f0), np.asarray(f1), atol=1e-5, rtol=1e-5)
+
+
+def test_pillarize_overflow_fallback():
+    """>win points in one pillar must route to the exact segment-sum path
+    and still match the three-step reference."""
+    from cmtcoop_tpu.ops.pillars import build_pillars, pillarize
+    rng = np.random.default_rng(4)
+    n = 1000
+    pts = np.zeros((n, 5), np.float32)
+    # 600 points in ONE pillar spread over z (forces > 128-point window)
+    pts[:600, 0] = 1.05
+    pts[:600, 1] = 1.05
+    pts[:600, 2] = rng.uniform(-7.9, -0.1, 600)
+    pts[600:, 0] = rng.uniform(-30, 30, 400)
+    pts[600:, 1] = rng.uniform(-30, 30, 400)
+    pts[600:, 2] = rng.uniform(-7.9, -0.1, 400)
+    mask = np.ones((n,), bool)
+    kw = dict(voxel_size=(0.2, 0.2, 0.25),
+              pc_range=(-32.0, -32.0, -8.0, 32.0, 32.0, 0.0),
+              grid_size=(320, 320, 32), max_points=10, max_voxels=4096)
+    vox = voxelize(jnp.asarray(pts), jnp.asarray(mask), **kw)
+    feats = hard_simple_vfe(vox)
+    pc0, pm0, occ0, f0 = build_pillars(
+        vox.coords, vox.mask, feats, (320, 320), 33, 1024)
+    pc1, pm1, occ1, f1 = pillarize(
+        jnp.asarray(pts), jnp.asarray(mask), max_pillars=1024, win=128,
+        **kw)
+    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+    np.testing.assert_allclose(
+        np.asarray(f0), np.asarray(f1), atol=1e-4, rtol=1e-4)
