@@ -9,8 +9,15 @@ multimodal model (two agents = roughly twice the work of the A100 row).
 """
 import argparse
 import json
+import os
 import sys
 import time
+
+# persistent XLA compile cache: the driver runs bench.py in a fresh process
+# every round; an unchanged model then skips the multi-minute first compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import numpy as np
 

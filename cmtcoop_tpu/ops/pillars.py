@@ -338,15 +338,23 @@ def pillarize(
     ok = valid_pt & (pos_in_run < max_points) & (prank < max_pillars)
 
     # pillar head positions, scatter-free: stable argsort of ~phead puts
-    # head positions first in ascending order
-    pstart = jnp.argsort(~phead).astype(jnp.int32)
-    if pstart.shape[0] < max_pillars:  # fewer points than pillar slots
-        pstart = jnp.concatenate(
-            [pstart, jnp.full((max_pillars - pstart.shape[0],), n,
-                              jnp.int32)])
-    pstart = pstart[:max_pillars]
-    pstart_ext = jnp.concatenate(
-        [pstart, jnp.full((1,), n, jnp.int32)])
+    # head positions first in ascending order. A tail marker at the first
+    # invalid point bounds the LAST retained pillar's extent, so the
+    # overflow check below measures real pillar sizes — not the truncated
+    # tail beyond the pillar cap (which is dropped, not windowed).
+    pil_ext = jnp.concatenate(
+        [pil, jnp.full((1,), INT32_MAX, jnp.int32)])
+    tailhead = jnp.concatenate(
+        [pil_ext[:1] == INT32_MAX,
+         (pil_ext[1:] == INT32_MAX) & (pil_ext[:-1] != INT32_MAX)])
+    phead_ext = jnp.concatenate([phead, jnp.zeros((1,), bool)])
+    heads_pos = jnp.argsort(~(phead_ext | tailhead)).astype(jnp.int32)
+    if heads_pos.shape[0] < max_pillars + 1:
+        heads_pos = jnp.concatenate(
+            [heads_pos,
+             jnp.full((max_pillars + 1 - heads_pos.shape[0],), n,
+                      jnp.int32)])
+    pstart = heads_pos[:max_pillars]
     pmask = jnp.arange(max_pillars, dtype=jnp.int32) < n_pillars
     plin = jnp.where(pmask, skey[jnp.minimum(pstart, n - 1)] // z_extent, -1)
     pcoords = jnp.where(
@@ -357,40 +365,89 @@ def pillarize(
                               INT32_MAX)
 
     def fast(_):
-        # per-pillar contiguous point window + one-hot slot matching
-        starts = jnp.minimum(pstart, max(n - win, 0))
+        # Expand every point to a sparse z-placed row (VPU, fused):
+        # e[w, z*(F+1)+c] = pts_aug[w, c] iff z(w) == z, where pts_aug
+        # carries a trailing 1 so sums and counts come out of ONE matmul.
+        # Then per 128-pillar block: one-hot pillar matching as a proper
+        # (128, bwin) @ (bwin, Z*(F+1)) MXU matmul over the block's
+        # contiguous point window. (A per-pillar einsum with N=F is
+        # batch-49k of tiny matmuls — measured 12x slower.)
+        bp = 128
+        bwin = 4 * win
+        nb = max_pillars // bp
+        zoh = ((skey % z_extent)[:, None] ==
+               jnp.arange(z_extent, dtype=jnp.int32)[None, :]) & ok[:, None]
+        pts_aug = jnp.concatenate(
+            [spts, jnp.ones((n, 1), jnp.float32)], axis=1)
+        e = (zoh.astype(jnp.float32)[:, :, None] *
+             pts_aug[:, None, :]).reshape(n, z_extent * (f + 1))
+        e = jnp.concatenate(
+            [e, jnp.zeros((bwin, e.shape[1]), jnp.float32)])
+        prank_pad = jnp.concatenate(
+            [jnp.where(ok, prank, INT32_MAX),
+             jnp.full((bwin,), INT32_MAX, jnp.int32)])
+        bstart = jnp.minimum(pstart[::bp], max(n - bwin, 0))
+        win_e = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(e, (s, 0), (bwin, e.shape[1]))
+        )(bstart)                                    # (nb, bwin, Z*(F+1))
+        win_rank = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(prank_pad, (s,), (bwin,))
+        )(bstart)                                    # (nb, bwin)
+        pids = (jnp.arange(nb, dtype=jnp.int32)[:, None] * bp +
+                jnp.arange(bp, dtype=jnp.int32)[None, :])
+        ohp = (win_rank[:, None, :] == pids[:, :, None]).astype(
+            jnp.float32)                             # (nb, bp, bwin)
+        out = jnp.einsum("bqw,bwc->bqc", ohp, win_e)
+        out = out.reshape(max_pillars, z_extent, f + 1)
+        return out[..., :f], out[..., f]
+
+    def slow(_):
+        # exact fallback for pillars with > win raw points: compact the
+        # CAPPED points first (argsort(~keep) is stable, so kept points
+        # stay in sorted slot order), then a wider window. Bounded by
+        # construction: <= z_extent * max_points capped points per pillar,
+        # so the wide window never overflows. No scatters, and the same
+        # einsum pattern as `fast` (keeps XLA compile cheap).
+        wide = (z_extent * max_points + 127) // 128 * 128
+        kept_idx = jnp.argsort(~ok).astype(jnp.int32)
+        spts_c = spts[kept_idx]
+        slot_c = jnp.where(ok[kept_idx], slot_of_point[kept_idx],
+                           INT32_MAX)
+        kept_rank = jnp.cumsum(ok[kept_idx].astype(jnp.int32)) - 1
+        # pillar start within the compacted array = number of kept points
+        # before it: prefix count at pstart
+        kept_before = jnp.cumsum(ok.astype(jnp.int32))
+        pstart_c = jnp.where(
+            pstart < n, kept_before[jnp.minimum(pstart, n - 1)] -
+            ok[jnp.minimum(pstart, n - 1)].astype(jnp.int32),
+            n).astype(jnp.int32)
+        del kept_rank
+        starts = jnp.minimum(pstart_c, max(n - wide, 0))
         spts_pad = jnp.concatenate(
-            [spts, jnp.zeros((win, f), jnp.float32)])
+            [spts_c, jnp.zeros((wide, f), jnp.float32)])
         slot_pad = jnp.concatenate(
-            [slot_of_point, jnp.full((win,), INT32_MAX, jnp.int32)])
+            [slot_c, jnp.full((wide,), INT32_MAX, jnp.int32)])
         win_pts = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(spts_pad, (s, 0), (win, f))
-        )(starts)                                   # (P, win, F)
+            lambda s: jax.lax.dynamic_slice(spts_pad, (s, 0), (wide, f))
+        )(starts)
         win_slot = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(slot_pad, (s,), (win,))
-        )(starts)                                   # (P, win)
+            lambda s: jax.lax.dynamic_slice(slot_pad, (s,), (wide,))
+        )(starts)
         slot_ids = (jnp.arange(max_pillars, dtype=jnp.int32)[:, None] *
                     z_extent +
                     jnp.arange(z_extent, dtype=jnp.int32)[None, :])
-        oh = (win_slot[:, None, :] == slot_ids[:, :, None])  # (P, Z, win)
+        oh = (win_slot[:, None, :] == slot_ids[:, :, None])
         ohf = oh.astype(jnp.float32)
         sums = jnp.einsum("pqw,pwf->pqf", ohf, win_pts)
         counts = jnp.sum(ohf, axis=-1)
         return sums, counts
 
-    def slow(_):
-        # exact segment-sum fallback for pillars with > win points
-        seg = jnp.where(ok, slot_of_point, max_pillars * z_extent)
-        sums = jax.ops.segment_sum(
-            spts * ok[:, None], seg,
-            num_segments=max_pillars * z_extent + 1)[:-1]
-        counts = jax.ops.segment_sum(
-            ok.astype(jnp.float32), seg,
-            num_segments=max_pillars * z_extent + 1)[:-1]
-        return (sums.reshape(max_pillars, z_extent, f),
-                counts.reshape(max_pillars, z_extent))
-
-    overflow = jnp.any(pstart_ext[1:] - pstart_ext[:-1] > win)
+    # fast-path invariant: every 128-pillar block's points fit its 4*win
+    # window (block boundaries measured to the next real head / the tail
+    # marker, so the dropped beyond-cap tail never false-positives)
+    bnext = jnp.concatenate(
+        [pstart[128::128], heads_pos[max_pillars:max_pillars + 1]])
+    overflow = jnp.any(bnext - pstart[::128] > 4 * win)
     sums, counts = jax.lax.cond(overflow, slow, fast, None)
     occ = (counts > 0) & pmask[:, None]
     feats = jnp.where(
