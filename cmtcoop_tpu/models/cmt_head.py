@@ -319,6 +319,11 @@ class CmtHead(nn.Module):
         # query embedding: logit-clamped ref (cmt_head.py:471-473)
         ref01 = jax.nn.sigmoid(inverse_sigmoid(padded_ref))
 
+        # one decoder pass per agent (shared weights, cmt_head_coop.py:
+        # 341-360). NOTE: batching agents through one decoder call (pad
+        # memories to the max token count + per-key bias) was measured
+        # SLOWER (-9 ms at b1) — the vehicle memory padded to the infra
+        # token count costs more than the dispatch it saves.
         outs_decs = []
         for agent in agents:
             memory, memory_pos = self.build_memory(agent, batch)
@@ -366,7 +371,8 @@ class CmtHead(nn.Module):
         return (jnp.concatenate(mem_parts, axis=1),
                 jnp.concatenate(pos_parts, axis=1))
 
-    def run_decoder(self, memory, memory_pos, query_pos, batch):
+    def run_decoder(self, memory, memory_pos, query_pos, batch,
+                    memory_k_bias=None):
         nq = query_pos.shape[1]
         bias = None
         if self.train_mode and nq > self.num_query:
@@ -377,7 +383,8 @@ class CmtHead(nn.Module):
                                 self.dn_groups)[None, None]
         target = jnp.zeros_like(query_pos)
         outs_dec = self.decoder(
-            target, memory, query_pos, memory_pos, self_attn_bias=bias)
+            target, memory, query_pos, memory_pos, self_attn_bias=bias,
+            memory_k_bias=memory_k_bias)
         return jnp.nan_to_num(outs_dec)
 
     def run_task_heads(self, outs_dec, padded_ref, dn_info):
