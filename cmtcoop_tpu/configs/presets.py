@@ -47,6 +47,9 @@ class Preset:
     img_norm_std: Tuple[float, float, float] = (57.375, 57.120, 58.395)
     ida_resize_lim: Tuple[float, float] = (0.94, 1.25)
     ida_final_dim: Tuple[int, int] = (640, 1600)
+    # image backbone: "V-*" = VoVNet spec, "r{depth}" = ResNet
+    img_spec: str = "V-99-eSE"
+    img_out_features: Tuple[str, ...] = ("stage4", "stage5")
 
     @property
     def use_lidar(self) -> bool:
@@ -71,6 +74,8 @@ class Preset:
             grid_size=self.grid_size,
             max_voxels=(self.max_voxels_train if train
                         else self.max_voxels_eval),
+            img_spec=self.img_spec,
+            img_out_features=self.img_out_features,
         )
         if self.tiny:
             out.update(
@@ -145,6 +150,19 @@ for _dom in ("vehicle", "infrastructure", "coop"):
 for _mod in ("camera", "lidar", "fusion"):
     _p = nuscenes_preset(_mod)
     PRESETS[_p.name] = _p
+
+# the reference's 4th nuScenes config: voxel0100_r50_800x320 (CMT_Nuscenes/
+# fusion/cmt_voxel0100_r50_800x320_cbgs.py — 67.9 mAP / 70.8 NDS @14.2 FPS):
+# voxel 0.1 on [-54, 54] -> grid 1080, ResNet-50 images at 320x800
+_p = nuscenes_preset(
+    "fusion",
+    name="cmt_fusion_r50_nuscenes",
+    voxel_size=(0.1, 0.1, 0.2), grid_size=(1080, 1080, 40),
+    img_size=(320, 800),
+    ida_resize_lim=(0.47, 0.625), ida_final_dim=(320, 800),
+    img_spec="r50", img_out_features=("layer3", "layer4"),
+)
+PRESETS[_p.name] = _p
 
 
 def tiny_preset(**over) -> Preset:

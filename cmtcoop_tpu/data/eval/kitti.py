@@ -3,10 +3,9 @@
 Self-contained numpy scorer in the spirit of mmdet3d's kitti_eval (used by
 a9_kitti_dataset.py:298-364): 40-recall-point interpolated AP with greedy
 max-IoU matching per image, BEV and 3D IoU variants, per-class IoU
-thresholds, difficulty buckets. This covers the LiDAR-domain metrics the
-reference reports for the intersection benchmark (README.md:210-223 style
-Easy/Moderate/Hard mAP_3D); image-plane 2D AP is out of scope (the A9 path
-never uses cameras for eval).
+thresholds, difficulty buckets. Covers the reference's three eval_types
+(a9_kitti_dataset.py:336): metric="3d" (rotated 3D IoU), "bev" (rotated BEV
+IoU) and "bbox" (image-plane axis-aligned 2D IoU on per-frame `boxes2d`).
 """
 from __future__ import annotations
 
@@ -43,10 +42,19 @@ def kitti_eval(
     iou_thresholds: Dict[str, float] = None, metric: str = "3d",
 ) -> Dict[str, float]:
     """gt/pred_by_frame: {frame: dict(boxes (N, 7+) bottom-centered, labels,
-    scores (pred only), difficulty (gt, optional int 0/1/2))}."""
+    scores (pred only), difficulty (gt, optional int 0/1/2), boxes2d
+    (N, 4) [x1, y1, x2, y2] for metric="bbox")}."""
     iou_thresholds = dict(DEFAULT_IOU_THRESHOLDS if iou_thresholds is None
                           else iou_thresholds)
-    iou_fn = iou_3d if metric == "3d" else bev_iou
+    if metric == "bbox":
+        from cmtcoop_tpu.data.eval.kitti_format import iou_2d
+        iou_fn = iou_2d
+        box_key = "boxes2d"
+        empty = np.zeros((0, 4))
+    else:
+        iou_fn = iou_3d if metric == "3d" else bev_iou
+        box_key = "boxes"
+        empty = np.zeros((0, 7))
     results = {}
     difficulties = [0, 1, 2, None]  # easy / moderate / hard / overall
     for ci, cls in enumerate(class_names):
@@ -57,15 +65,15 @@ def kitti_eval(
             n_gt = 0
             for frame in gt_by_frame:
                 gt = gt_by_frame[frame]
-                pd = pred_by_frame.get(frame, dict(
-                    boxes=np.zeros((0, 7)), labels=np.zeros(0, int),
-                    scores=np.zeros(0)))
+                pd = pred_by_frame.get(frame, {
+                    box_key: empty, "labels": np.zeros(0, int),
+                    "scores": np.zeros(0)})
                 gmask = np.asarray(gt["labels"]) == ci
                 if diff is not None and "difficulty" in gt:
                     gmask &= np.asarray(gt["difficulty"]) == diff
-                gboxes = np.asarray(gt["boxes"])[gmask]
+                gboxes = np.asarray(gt[box_key])[gmask]
                 pmask = np.asarray(pd["labels"]) == ci
-                pboxes = np.asarray(pd["boxes"])[pmask]
+                pboxes = np.asarray(pd[box_key])[pmask]
                 pscores = np.asarray(pd["scores"])[pmask]
                 n_gt += len(gboxes)
                 if len(pboxes) == 0:

@@ -15,7 +15,6 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from cmtcoop_tpu.data.eval.kitti import kitti_eval
-from cmtcoop_tpu.data.pipelines import transforms as T
 
 
 def parse_kitti_label(path: str, class_names: Sequence[str]):
@@ -36,7 +35,9 @@ def parse_kitti_label(path: str, class_names: Sequence[str]):
             x, y, z = (float(parts[11]), float(parts[12]),
                        float(parts[13]))
             ry = float(parts[14])
-            boxes.append([x, y, z, w, l, h, ry, 0.0, 0.0])
+            # box convention: col 3 = size along heading (KITTI l), col 4 =
+            # lateral size (KITTI w) — matches corners_bev / the writers
+            boxes.append([x, y, z, l, w, h, ry, 0.0, 0.0])
             labels.append(class_names.index(name))
             diffs.append(min(occ, 2))
     boxes = (np.asarray(boxes, np.float32) if boxes
@@ -65,10 +66,13 @@ class A9KittiDataset:
 
     def get_raw_sample(self, index: int, rng: np.random.Generator) -> Dict:
         fid = self.ids[index]
-        pts = T.load_points_bin(os.path.join(
-            self.root, self.split, "velodyne", fid + ".bin"), load_dim=4,
-            use_dim=(0, 1, 2, 3))
-        pts = np.pad(pts, ((0, 0), (0, 1)))
+        # bins written by converters.pcd.pcd_to_bin are (x, y, z, i/256, 0)
+        path = os.path.join(self.root, self.split, "velodyne", fid + ".bin")
+        raw = np.fromfile(path, np.float32)
+        if raw.size % 5 == 0:
+            pts = raw.reshape(-1, 5)
+        else:  # legacy 4-dim KITTI bins
+            pts = np.pad(raw.reshape(-1, 4), ((0, 0), (0, 1)))
         sample: Dict = dict(points=pts, frame_id=fid)
         label_path = os.path.join(
             self.root, self.split, "label_2", fid + ".txt")

@@ -27,6 +27,7 @@ from cmtcoop_tpu.models.grid_mask import grid_mask
 from cmtcoop_tpu.models.second import SECOND, SECONDFPN
 from cmtcoop_tpu.models.pillar_encoder import PillarSparseEncoder
 from cmtcoop_tpu.models.sparse_encoder import SparseEncoder
+from cmtcoop_tpu.models.resnet import ResNet
 from cmtcoop_tpu.models.vovnet import CPFPN, VoVNet
 from cmtcoop_tpu.ops.pillars import pillarize
 from cmtcoop_tpu.ops.voxelize import hard_simple_vfe, voxelize
@@ -61,7 +62,8 @@ class FeatureExtractor(nn.Module):
     second_channels: Sequence[int] = (128, 256)
     second_layers: Sequence[int] = (5, 5)
     fpn_channels: Sequence[int] = (256, 256)
-    # camera path
+    # camera path: img_spec "V-*" selects VoVNet, "r{depth}" selects ResNet
+    # (the reference's voxel0100_r50_800x320 config, SURVEY §2.1 #39)
     img_spec: str = "V-99-eSE"
     img_out_features: Sequence[str] = ("stage4", "stage5")
     neck_out_channels: int = 256
@@ -71,9 +73,14 @@ class FeatureExtractor(nn.Module):
 
     def setup(self):
         if self.use_camera:
-            self.img_backbone = VoVNet(
-                self.img_spec, tuple(self.img_out_features),
-                dtype=self.dtype)
+            if self.img_spec.startswith("r"):
+                self.img_backbone = ResNet(
+                    int(self.img_spec[1:]), tuple(self.img_out_features),
+                    dtype=self.dtype)
+            else:
+                self.img_backbone = VoVNet(
+                    self.img_spec, tuple(self.img_out_features),
+                    dtype=self.dtype)
             self.img_neck = CPFPN(
                 self.neck_out_channels, num_outs=2, dtype=self.dtype)
         if self.use_lidar:

@@ -17,11 +17,18 @@ import jax.numpy as jnp
 
 
 class ConvBNReLU(nn.Module):
-    """Conv2d(bias=False) + BatchNorm + optional ReLU, torch-equivalent."""
+    """Conv2d(bias=False) + BatchNorm + optional ReLU, torch-equivalent.
+
+    Default padding is torch-style centered ((k-1)//2 on both sides) — NOT
+    XLA "SAME": for stride-2 convs SAME pads (0, 1) while torch pads (1, 1),
+    which shifts every window by one pixel and breaks bit-parity with
+    reference weights (VoVNet stems, SECOND block1, ResNet downsamples).
+    At stride 1 the two conventions coincide.
+    """
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
-    padding: Any = "SAME"
+    padding: Any = None
     groups: int = 1
     use_relu: bool = True
     bn_eps: float = 1e-5
@@ -30,9 +37,13 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        pad = self.padding
+        if pad is None:
+            pad = tuple(((k - 1) // 2, (k - 1) // 2)
+                        for k in self.kernel_size)
         x = nn.Conv(
             self.features, self.kernel_size, self.strides,
-            padding=self.padding, feature_group_count=self.groups,
+            padding=pad, feature_group_count=self.groups,
             use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=self.bn_momentum,

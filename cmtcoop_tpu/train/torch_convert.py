@@ -7,7 +7,8 @@ and warm starts.
 
 Layout rules:
   Conv2d   (O, I, kh, kw)          -> (kh, kw, I, O)
-  Deconv   (I, O, kh, kw)          -> (kh, kw, I, O)   (flax ConvTranspose)
+  Deconv   (I, O, kh, kw)          -> (kh, kw, I, O) + spatial flip
+                                      (flax ConvTranspose correlates)
   Linear   (O, I)                  -> (I, O)
   BN       weight/bias/mean/var    -> scale/bias + batch_stats
   SubMConv3d / SparseConv3d (spconv 2.x: (O, kz, ky, kx, I))
@@ -27,8 +28,12 @@ def _conv(w):   # (O, I, kh, kw) -> (kh, kw, I, O)
     return np.transpose(w, (2, 3, 1, 0))
 
 
-def _deconv(w):  # (I, O, kh, kw) -> (kh, kw, I, O)
-    return np.transpose(w, (2, 3, 0, 1))
+def _deconv(w):
+    """torch ConvTranspose2d (I, O, kh, kw) -> flax ConvTranspose
+    (kh, kw, I, O), spatially flipped: torch's transposed conv scatters the
+    kernel non-flipped, while flax (transpose_kernel=False) correlates —
+    verified against torch in tests/test_torch_parity.py."""
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
 
 
 def _linear(w):
@@ -151,6 +156,30 @@ def convert_vovnet(cv: Converter, tpref: str, jpath: List[str],
                          _conv(cv.take(f"{tmod}.ese.fc.weight")))
             cv.set_param(jmod + ["ese", "fc", "bias"],
                          cv.take(f"{tmod}.ese.fc.bias"))
+
+
+_RESNET_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+                  101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+def convert_resnet(cv: Converter, tpref: str, jpath: List[str],
+                   depth: int = 50) -> None:
+    """mmdet/torchvision ResNet (conv1/bn1, layer{s}.{b}.conv{1..3}/bn{1..3},
+    downsample.{0,1}) -> models/resnet.py naming (stem, layer{s}_{b})."""
+    cv.raw_conv_bn(f"{tpref}.conv1.weight", f"{tpref}.bn1",
+                   jpath + ["stem"])
+    n_convs = 3 if depth >= 50 else 2
+    for si, n_blocks in enumerate(_RESNET_BLOCKS[depth]):
+        for b in range(n_blocks):
+            tmod = f"{tpref}.layer{si + 1}.{b}"
+            jmod = jpath + [f"layer{si + 1}_{b}"]
+            for ci in range(1, n_convs + 1):
+                cv.raw_conv_bn(f"{tmod}.conv{ci}.weight",
+                               f"{tmod}.bn{ci}", jmod + [f"conv{ci}"])
+            if f"{tmod}.downsample.0.weight" in cv.sd:
+                cv.raw_conv_bn(f"{tmod}.downsample.0.weight",
+                               f"{tmod}.downsample.1",
+                               jmod + ["downsample"])
 
 
 def convert_cpfpn(cv: Converter, tpref: str, jpath: List[str],
@@ -332,8 +361,13 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
 
     def convert_agent(tp: str, jp: List[str]):
         if any(k.startswith(f"{tp}img_backbone") for k in sd):
-            convert_vovnet(cv, f"{tp}img_backbone",
-                           jp + ["img_backbone"], spec)
+            if f"{tp}img_backbone.conv1.weight" in sd:  # ResNet layout
+                convert_resnet(cv, f"{tp}img_backbone",
+                               jp + ["img_backbone"],
+                               spec.get("resnet_depth", 50))
+            else:
+                convert_vovnet(cv, f"{tp}img_backbone",
+                               jp + ["img_backbone"], spec)
             convert_cpfpn(cv, f"{tp}img_neck", jp + ["img_neck"])
         if any(k.startswith(f"{tp}pts_middle_encoder") for k in sd):
             convert_sparse_encoder(cv, f"{tp}pts_middle_encoder",
