@@ -114,10 +114,19 @@ class A9NuscCoopDataset:
             sample["gt_names"] = names
         return sample
 
+    def set_epoch(self, epoch: int) -> None:
+        """Epoch-dependent augmentation seeding (DistributedSampler
+        set_epoch equivalent); also keyed into __getitem__'s rng so resumed
+        runs reproduce the exact data stream."""
+        self._epoch = int(epoch)
+
     def __getitem__(self, index):
-        rng = np.random.default_rng(
-            abs(hash((index, "eval" if self.test_mode else "train"))) %
-            (1 << 32))
+        # stable across processes (python hash() is salted -> would break
+        # deterministic resume); SplitMix64-style integer mix
+        seed = (index * 0x9E3779B97F4A7C15
+                + getattr(self, "_epoch", 0) * 0xBF58476D1CE4E5B9
+                + (1 if self.test_mode else 0)) % (1 << 63)
+        rng = np.random.default_rng(seed)
         sample = self.get_raw_sample(index, rng)
         if self.pipeline is not None:
             sample = self.pipeline(sample, rng)
@@ -145,13 +154,16 @@ class A9NuscCoopDataset:
             out[ts] = entries
         return out
 
-    def evaluate(self, pred_boxes_by_ts: Dict) -> Dict:
+    def evaluate(self, pred_boxes_by_ts: Dict,
+                 output_dir: str = None) -> Dict:
         """pred_boxes_by_ts: {timestamp: [scorer box dicts]} (see
-        formats.decoded_to_eval_boxes)."""
+        formats.decoded_to_eval_boxes). `output_dir` writes the reference's
+        metrics_summary.json / metrics_details.json artifacts."""
         gt = self.gt_eval_boxes()
         for ts in gt:
             pred_boxes_by_ts.setdefault(ts, [])
-        return evaluate_detection(gt, pred_boxes_by_ts, self.class_names)
+        return evaluate_detection(gt, pred_boxes_by_ts, self.class_names,
+                                  output_dir=output_dir)
 
 
 class A9NuscDataset(A9NuscCoopDataset):

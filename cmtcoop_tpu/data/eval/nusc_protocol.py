@@ -177,10 +177,13 @@ def calc_tp(md, min_recall: float, metric_name: str) -> float:
 
 def evaluate_detection(gt_boxes: Dict, pred_boxes: Dict,
                        class_names: Sequence[str],
-                       cls_range: Dict[str, float] = None) -> Dict:
+                       cls_range: Dict[str, float] = None,
+                       output_dir: str = None) -> Dict:
     """Full protocol: returns the metrics_summary dict
     (a9coop_dataset.py:830-969) plus the flat `object/...` detail keys
-    (a9coop_dataset.py:1000-1016)."""
+    (a9coop_dataset.py:1000-1016). With `output_dir`, also writes the
+    reference's eval artifacts metrics_summary.json + metrics_details.json
+    (a9coop_dataset.py:918-940)."""
     cls_range = dict(CLS_RANGE if cls_range is None else cls_range)
     pred_boxes = filter_eval_boxes(pred_boxes, cls_range)
     gt_boxes = filter_eval_boxes(gt_boxes, cls_range)
@@ -233,4 +236,61 @@ def evaluate_detection(gt_boxes: Dict, pred_boxes: Dict,
     detail["object/nds"] = summary["nd_score"]
     detail["object/map"] = summary["mean_ap"]
     summary["detail"] = detail
+    if output_dir:
+        write_metrics_artifacts(summary, mdl, output_dir, cls_range)
     return summary
+
+
+def write_metrics_artifacts(summary: Dict, mdl: Dict, output_dir: str,
+                            cls_range: Dict[str, float] = None) -> None:
+    """metrics_summary.json + metrics_details.json
+    (a9coop_dataset.py:918-940; details = the per-(class, dist) accumulate
+    curves, keyed 'CLASS:dist')."""
+    import json
+    import os
+    os.makedirs(output_dir, exist_ok=True)
+    out = {k: v for k, v in summary.items() if k != "detail"}
+    out["cfg"] = {
+        "class_range": dict(CLS_RANGE if cls_range is None else cls_range),
+        "dist_ths": list(DIST_THS), "dist_th_tp": DIST_TH_TP,
+        "min_recall": MIN_RECALL, "min_precision": MIN_PRECISION,
+        "mean_ap_weight": MEAN_AP_WEIGHT,
+    }
+    with open(os.path.join(output_dir, "metrics_summary.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    details = {
+        f"{cls}:{dist}": {k: np.asarray(v).tolist() for k, v in md.items()}
+        for (cls, dist), md in mdl.items()}
+    with open(os.path.join(output_dir, "metrics_details.json"), "w") as f:
+        json.dump(details, f, indent=2)
+
+
+def write_results_nusc(pred_boxes: Dict, output_dir: str,
+                       meta: Dict = None) -> str:
+    """results_nusc.json (a9coop_dataset.py:293-337): {meta, results:
+    {timestamp: [nusc annos]}}; rotation emitted as a (w, x, y, z) yaw
+    quaternion like the reference's pyquaternion boxes."""
+    import json
+    import os
+    os.makedirs(output_dir, exist_ok=True)
+    results = {}
+    for ts, boxes in pred_boxes.items():
+        annos = []
+        for b in boxes:
+            yaw = float(b.get("yaw", 0.0))
+            annos.append(dict(
+                timestamp=str(ts),
+                translation=[float(x) for x in b["translation"]],
+                size=[float(x) for x in b["size"]],
+                rotation=[float(np.cos(yaw / 2)), 0.0, 0.0,
+                          float(np.sin(yaw / 2))],
+                velocity=[float(x) for x in b.get("velocity", (0, 0))[:2]],
+                detection_name=b["detection_name"],
+                detection_score=float(b.get("detection_score", 0.0)),
+            ))
+        results[str(ts)] = annos
+    path = os.path.join(output_dir, "results_nusc.json")
+    with open(path, "w") as f:
+        json.dump({"meta": meta or {"use_lidar": True, "use_camera": True},
+                   "results": results}, f)
+    return path

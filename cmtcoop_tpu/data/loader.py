@@ -23,37 +23,73 @@ from cmtcoop_tpu.data.pipelines.dbsampler import DataBaseSampler
 
 class PrefetchLoader:
     """Iterate batches assembled by worker threads, in a deterministic
-    order, `prefetch` batches ahead."""
+    order, `prefetch` batches ahead.
+
+    Epoch-aware + resumable: with `shuffle_seed` set, the (fixed, CBGS-
+    resampled) index set is reshuffled per epoch with a per-epoch seed
+    (= DistributedSampler.set_epoch), the dataset's augmentation rng is
+    re-keyed per epoch, and `iter_steps(start_step)` resumes mid-epoch at
+    the exact batch a restored checkpoint stopped at — the data stream of
+    a resumed run is bit-identical to an uninterrupted one."""
 
     def __init__(self, dataset, indices: np.ndarray, batch_size: int,
-                 num_workers: int = 6, prefetch: int = 4):
+                 num_workers: int = 6, prefetch: int = 4,
+                 shuffle_seed: Optional[int] = None):
         self.dataset = dataset
-        self.indices = indices
+        self.indices = np.asarray(indices)
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.shuffle_seed = shuffle_seed
 
     def __len__(self):
         return len(self.indices) // self.batch_size
 
-    def _make_batch(self, b: int) -> Dict[str, np.ndarray]:
-        idxs = self.indices[b * self.batch_size:(b + 1) * self.batch_size]
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        if self.shuffle_seed is None:
+            return self.indices
+        idx = self.indices.copy()
+        np.random.default_rng(self.shuffle_seed + epoch).shuffle(idx)
+        return idx
+
+    def _make_batch(self, indices, b: int) -> Dict[str, np.ndarray]:
+        idxs = indices[b * self.batch_size:(b + 1) * self.batch_size]
         return formats.collate([self.dataset[int(i)] for i in idxs])
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def iter_epoch(self, epoch: int = 0,
+                   start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+        indices = self.epoch_indices(epoch)
         n_batches = len(self)
         with ThreadPoolExecutor(self.num_workers) as ex:
             futures: "deque" = deque()
-            b = 0
+            b = start_batch
             inflight = self.prefetch + self.num_workers
             while b < n_batches or futures:
                 while b < n_batches and len(futures) < inflight:
-                    futures.append(ex.submit(self._make_batch, b))
+                    futures.append(ex.submit(self._make_batch, indices, b))
                     b += 1
                 yield futures.popleft().result()
+
+    def iter_steps(self, start_step: int = 0,
+                   max_epochs: Optional[int] = None
+                   ) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite (or max_epochs-bounded) multi-epoch stream starting at
+        global batch `start_step` — the resume entry point."""
+        spe = len(self)
+        epoch = start_step // spe
+        start = start_step % spe
+        while max_epochs is None or epoch < max_epochs:
+            yield from self.iter_epoch(epoch, start)
+            epoch += 1
+            start = 0
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.iter_epoch(0)
 
 
 DEFAULT_SAMPLE_GROUPS = dict(  # coop config:70-78
@@ -94,9 +130,11 @@ def build_train_loader(preset: Preset, data_root: str, batch_size: int,
         class_names=preset.class_names, pipeline=pipeline,
         use_camera=preset.use_camera, use_lidar=preset.use_lidar)
     rng = np.random.default_rng(seed)
+    # CBGS index set drawn once (mmdet3d CBGSDataset semantics); the
+    # per-epoch ORDER comes from PrefetchLoader.epoch_indices
     indices = cbgs_indices(ds, rng) if use_cbgs else np.arange(len(ds))
-    rng.shuffle(indices)
-    loader = PrefetchLoader(ds, indices, batch_size, num_workers)
+    loader = PrefetchLoader(ds, indices, batch_size, num_workers,
+                            shuffle_seed=seed)
     return loader, len(loader)
 
 

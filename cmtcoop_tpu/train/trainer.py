@@ -22,6 +22,7 @@ from cmtcoop_tpu.parallel.mesh import make_mesh, shard_batch
 from cmtcoop_tpu.parallel.train_step import TrainState, make_train_step
 from cmtcoop_tpu.train import checkpoint as ckpt
 from cmtcoop_tpu.train.optim import make_optimizer
+from cmtcoop_tpu.utils.tb_writer import TensorBoardWriter
 
 log = logging.getLogger("cmtcoop")
 
@@ -55,6 +56,8 @@ class Trainer:
         os.makedirs(work_dir, exist_ok=True)
         self._metrics_file = open(
             os.path.join(work_dir, "metrics.jsonl"), "a")
+        # TensorboardLoggerHook equivalent (config log_config:395-398)
+        self._tb = TensorBoardWriter(os.path.join(work_dir, "tf_logs"))
 
     def init_state(self, example_batch: Dict[str, Any]) -> TrainState:
         rngs = {
@@ -77,9 +80,11 @@ class Trainer:
             base_seed=self.seed)
         return self.state
 
-    def resume(self, ckpt_dir: Optional[str] = None) -> bool:
+    def resume(self, ckpt_dir: Optional[str] = None,
+               step: Optional[int] = None) -> bool:
         ckpt_dir = ckpt_dir or os.path.join(self.work_dir, "ckpts")
-        step = ckpt.latest_step(ckpt_dir)
+        if step is None:
+            step = ckpt.latest_step(ckpt_dir)
         if step is None:
             return False
         self.state = ckpt.restore_checkpoint(ckpt_dir, self.state, step)
@@ -112,6 +117,10 @@ class Trainer:
                          metrics["loss"], dt)
                 self._metrics_file.write(json.dumps(metrics) + "\n")
                 self._metrics_file.flush()
+                self._tb.add_scalars(
+                    step_idx, {f"train/{k}": v for k, v in metrics.items()
+                               if k != "step"})
+                self._tb.flush()
             if (self.ckpt_interval_steps and
                     step_idx % self.ckpt_interval_steps == 0):
                 ckpt.save_checkpoint(
@@ -122,4 +131,8 @@ class Trainer:
                     step_idx % eval_interval_steps == 0):
                 results = eval_hook(self.state, step_idx)
                 log.info("eval @%d: %s", step_idx, results)
+                self._tb.add_scalars(
+                    step_idx, {f"val/{k}": v for k, v in results.items()
+                               if isinstance(v, (int, float))})
+                self._tb.flush()
         return self.state

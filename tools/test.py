@@ -25,6 +25,10 @@ def parse_args():
     ap.add_argument("--split", default="val")
     ap.add_argument("--eval", default="bbox")
     ap.add_argument("--out", default=None, help="write detections json")
+    ap.add_argument("--work-dir", default=None,
+                    help="write results_nusc.json + metrics_summary.json + "
+                         "metrics_details.json here (reference eval "
+                         "artifacts, a9coop_dataset.py:293-337, 918-940)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--max-samples", type=int, default=None)
     ap.add_argument("--cfg-options", nargs="*", default=None,
@@ -92,8 +96,14 @@ def main():
     if args.out:
         with open(args.out, "w") as f:
             json.dump({str(k): v for k, v in preds.items()}, f)
+    if args.work_dir:
+        from cmtcoop_tpu.data.eval.nusc_protocol import write_results_nusc
+        write_results_nusc(
+            preds, args.work_dir,
+            meta={"use_lidar": preset.use_lidar,
+                  "use_camera": preset.use_camera})
     if "bbox" in args.eval:
-        summary = ds.evaluate(preds)
+        summary = ds.evaluate(preds, output_dir=args.work_dir)
         print(json.dumps(summary["detail"], indent=2))
         print(f"mAP: {summary['mean_ap']:.4f}  NDS: "
               f"{summary['nd_score']:.4f}")

@@ -80,8 +80,8 @@ def main():
             preset, args.data_root, batch_size,
             num_workers=args.num_workers, seed=args.seed)
         total_steps = args.steps or steps_per_epoch * args.epochs
-        batches = iter(loader)
-        example = next(batches)
+        batches = None  # multi-epoch stream built after resume (below)
+        example = loader._make_batch(loader.epoch_indices(0), 0)
 
     trainer = Trainer(
         model, preset.tasks, total_steps=total_steps, work_dir=work_dir,
@@ -96,11 +96,18 @@ def main():
         restored = restore_checkpoint(args.load_from, trainer.state)
         trainer.load_params(restored.params)
 
-    def chain():
-        yield example
-        yield from batches
+    if batches is None:
+        # deterministic multi-epoch stream; a resumed run restarts at the
+        # exact batch the checkpointed step stopped at
+        batches = loader.iter_steps(start_step=int(trainer.state.step),
+                                    max_epochs=args.epochs)
+    elif int(trainer.state.step) == 0:
+        def chain(first=example, rest=batches):
+            yield first
+            yield from rest
+        batches = chain()
 
-    trainer.run(chain())
+    trainer.run(batches)
     logging.info("training done: %d steps", int(trainer.state.step))
 
 
