@@ -38,10 +38,16 @@ def mha_reference(q, k, v, bias: Optional[jnp.ndarray] = None):
         preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *, sm_scale, block_k, kv_len):
+def _flash_kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref, *rest,
+                  sm_scale, block_k, kv_len, with_stats):
     """One (batch*head, q-block) program: stream KV blocks with online
-    softmax. kmask is a per-key additive bias row (encodes KV padding)."""
+    softmax. kmask is a per-key additive bias row (encodes KV padding).
+    With `with_stats`, also emits the per-query running (m, l) so callers
+    can merge partial attentions across KV shards (log-sum-exp combine)."""
+    if with_stats:
+        ml_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     kv_idx = pl.program_id(2)
     is_first = kv_idx == 0
 
@@ -74,17 +80,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref,
     def _():
         o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(
             o_ref.dtype)
+        if with_stats:
+            ml_ref[0] = jnp.concatenate(
+                [jnp.broadcast_to(m_scr[:], (m_scr.shape[0], 64)),
+                 jnp.broadcast_to(l_scr[:], (l_scr.shape[0], 64))], axis=1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret", "with_stats"))
 def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
-                           block_k: int = 1024, interpret: bool = False):
+                           block_k: int = 1024, interpret: bool = False,
+                           with_stats: bool = False):
     """Flash attention with a per-key additive bias (KV padding mask).
 
     Covers the reference's cross-attention use case (padding-only masking)
     with O(Nq*Dh) VMEM. Shapes: q (B,H,Nq,Dh), k/v (B,H,Nk,Dh),
     k_bias (B, Nk) additive (0 or NEG_INF).
+
+    With `with_stats`, returns (out, m, l) where m/l are the per-query
+    softmax running max and normalizer ((B,H,Nq) float32) — the sufficient
+    statistics for merging attention over KV shards.
     """
     b, h, nq, d = q.shape
     nk = k.shape[2]
@@ -98,10 +114,18 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
             jnp.float32)
 
     grid = (bh, nq // block_q, nk // block_k)
-    out = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((bh, nq, d), q.dtype)]
+    if with_stats:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, 128), lambda b_, i, j: (b_, i, 0)))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bh, nq, 128), jnp.float32))
+    res = pl.pallas_call(
         functools.partial(
             _flash_kernel, sm_scale=1.0 / math.sqrt(d), block_k=block_k,
-            kv_len=nk),
+            kv_len=nk, with_stats=with_stats),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
@@ -109,8 +133,8 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
             pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
             pl.BlockSpec((1, 1, block_k), lambda b_, i, j: (b_, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
+        out_specs=out_specs if with_stats else out_specs[0],
+        out_shape=out_shapes if with_stats else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -120,7 +144,12 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qr, kr, vr, biasr)
-    return out.reshape(b, h, nq, d)
+    if with_stats:
+        out, ml = res
+        m = ml[:, :, 0].reshape(b, h, nq)
+        l = ml[:, :, 64].reshape(b, h, nq)
+        return out.reshape(b, h, nq, d), m, l
+    return res.reshape(b, h, nq, d)
 
 
 def _pad_to(x, axis, multiple):
@@ -134,7 +163,10 @@ def _pad_to(x, axis, multiple):
 
 
 def attend(q, k, v, bias=None, k_bias=None, impl: str = "auto",
-           block_q: int = 128, block_k: int = 1024):
+           block_q: int = 256, block_k: int = 2048):
+    # block defaults measured on v5e at the bench shape (8h x 1024q x 49k
+    # kv): (256, 2048) = 1.9 ms vs (128, 1024) = 3.4 ms — fewer KV
+    # re-streams per q-block; (1024, 4096) exceeds the 16M scoped VMEM.
     """Dispatch: Pallas flash for long-KV padding-masked attention, XLA
     reference otherwise (e.g. DN-masked self-attention, 2D bias).
 
