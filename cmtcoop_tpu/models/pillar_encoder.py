@@ -140,6 +140,13 @@ class PillarSparseEncoder(nn.Module):
         (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
     output_channels: int = 128
     pillar_caps: Sequence[int] = (40000, 24000, 16000, 16000)
+    # per-stage window sizes for the fused kernel. Measured p100 spans on a
+    # realistic TUMTraf cloud: subm (512, 512, 561, 475), down (215, 505,
+    # 1024) — stage 2's subm span EXCEEDS 512 (the deeper grid is denser
+    # relative to its extent), which silently sent every stage-2 conv to
+    # the slow fallback via the exactness guard. Sized with margin.
+    subm_wins: Sequence[int] = (640, 640, 768, 640)
+    down_wins: Sequence[int] = (1280, 1280, 1536)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -170,6 +177,7 @@ class PillarSparseEncoder(nn.Module):
 
         nbr = vnbr(grid)
         x = PillarConvBlock(self.base_channels, 27, 3, 1, 1, self.dtype,
+                            win=self.subm_wins[0],
                             name="conv_input")(x, nbr, occ, train)
 
         down_zpads = [1, 1, 0]
@@ -179,7 +187,8 @@ class PillarSparseEncoder(nn.Module):
             n_sbb = len(blocks) - (0 if i == n_stages - 1 else 1)
             for j in range(n_sbb):
                 x = PillarBasicBlock(
-                    ch, self.dtype, name=f"stage{i}_block{j}")(
+                    ch, self.dtype, win=self.subm_wins[i],
+                    name=f"stage{i}_block{j}")(
                         x, nbr, occ, train)
             if i != n_stages - 1:
                 out_ch = blocks[-1]
@@ -203,7 +212,8 @@ class PillarSparseEncoder(nn.Module):
                     lambda o, n, zp=zp: pu.occ_downsample(o, n, 3, 2, zp)
                 )(occ, nbr_dn)
                 x = PillarConvBlock(
-                    out_ch, 27, 3, 2, zp, self.dtype, win=1024,
+                    out_ch, 27, 3, 2, zp, self.dtype,
+                    win=self.down_wins[i],
                     name=f"stage{i}_down")(x, nbr_dn, occ_new, train)
                 grid, occ = out_grid, occ_new
                 nbr = vnbr(grid)

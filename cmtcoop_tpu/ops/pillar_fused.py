@@ -64,8 +64,28 @@ def band_matrix(weights: jnp.ndarray, z_in: int, z_out: int,
     return b.reshape(kb, z_in * cin, z_out * cout).astype(dtype)
 
 
+def _tile_plan(z_in, z_out, cin, cout, kz, z_stride, z_pad):
+    """Static z-tiling of the band contraction. The full band matrix is
+    (Z_in*Cin, Z_out*Cout) but only a kz/Z_in-wide diagonal band is nonzero
+    — at stage 0 (z=41, kz=3) a dense contraction does ~14x the needed
+    FLOPs. Tiles of T output z-slices each read a fixed (T-1)*s+kz input
+    window; T sized so the matmul stays MXU-friendly (>=16 rows of lanes).
+
+    Returns (T, Tin, starts) or None when tiling wouldn't help."""
+    t = max(1, -(-256 // cout))  # ceil(256 / cout) output z per tile
+    t = min(t, z_out)
+    ntiles = -(-z_out // t)
+    tin = (t - 1) * z_stride + kz
+    if ntiles <= 1 or tin >= z_in:
+        return None
+    starts = [min(max(i * t * z_stride - z_pad, 0), z_in - tin)
+              for i in range(ntiles)]
+    return t, tin, starts
+
+
 def _fused_kernel(starts_ref, nbrl_ref, *rest, win, bp, kb, zoco,
-                  has_bias, has_resid, has_occ, relu):
+                  has_bias, has_resid, has_occ, relu,
+                  tiles=None, cin=None, cout=None):
     it = iter(rest)
     occ_ref = next(it) if has_occ else None
     resid_ref = next(it) if has_resid else None
@@ -96,16 +116,34 @@ def _fused_kernel(starts_ref, nbrl_ref, *rest, win, bp, kb, zoco,
     dma(blk % 2, blk).wait()
     window = win_buf[blk % 2]  # (win, ZCP)
 
-    acc = jnp.zeros((bp, zoco), jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (bp, win), 1)
+    gs = []
     for j in range(kb):
         oh = (nbrl_ref[:, j][:, None] == iota).astype(window.dtype)
-        g = jax.lax.dot_general(
+        gs.append(jax.lax.dot_general(
             oh, window, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(window.dtype)
-        acc = acc + jax.lax.dot_general(
-            g, band_ref[j], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32).astype(window.dtype))
+    if tiles is None:
+        acc = jnp.zeros((bp, zoco), jnp.float32)
+        for j in range(kb):
+            acc = acc + jax.lax.dot_general(
+                gs[j], band_ref[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    else:
+        # z-tiled band: contract only the nonzero diagonal band, one
+        # (bp, Tin*Cin) @ (Tin*Cin, T*Cout) matmul per tap per tile
+        t, tin, tstarts = tiles
+        cols = []
+        for ti, s0 in enumerate(tstarts):
+            a = jnp.zeros((bp, t * cout), jnp.float32)
+            lo = s0 * cin
+            for j in range(kb):
+                a = a + jax.lax.dot_general(
+                    gs[j][:, lo:lo + tin * cin], band_ref[j, ti],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            cols.append(a)
+        acc = jnp.concatenate(cols, axis=1)[:, :zoco]
 
     if has_bias:
         acc = acc + bias_ref[0][None, :].astype(jnp.float32)
@@ -199,8 +237,26 @@ def fused_pillar_conv(
 
     band = band_matrix(weights, z_in, z_out, kz, z_stride, z_pad,
                        scale=scale, dtype=feats.dtype)
-    if zcp != zc:
-        band = jnp.pad(band, ((0, 0), (0, zcp - zc), (0, 0)))
+    tiles = _tile_plan(z_in, z_out, cin, cout, kz, z_stride, z_pad)
+    if tiles is not None:
+        t, tin, tstarts = tiles
+        tiled_flops = len(tstarts) * tin * cin * t * cout
+        if tiled_flops > 0.7 * zc * zoco:
+            tiles = None  # banding too dense for tiling to pay off
+    if tiles is None:
+        if zcp != zc:
+            band = jnp.pad(band, ((0, 0), (0, zcp - zc), (0, 0)))
+    else:
+        t, tin, tstarts = tiles
+        tile_mats = []
+        for ti, s0 in enumerate(tstarts):
+            bt = band[:, s0 * cin:(s0 + tin) * cin,
+                      ti * t * cout:min((ti + 1) * t, z_out) * cout]
+            if bt.shape[2] < t * cout:  # ragged last tile
+                bt = jnp.pad(bt, ((0, 0), (0, 0),
+                                  (0, t * cout - bt.shape[2])))
+            tile_mats.append(bt)
+        band = jnp.stack(tile_mats, axis=1)  # (kb, ntiles, Tin*Cin, T*Cout)
 
     has_bias = bias is not None
     has_resid = residual is not None
@@ -238,7 +294,7 @@ def fused_pillar_conv(
         functools.partial(
             _fused_kernel, win=win, bp=bp, kb=kb, zoco=zoco,
             has_bias=has_bias, has_resid=has_resid, has_occ=has_occ,
-            relu=relu),
+            relu=relu, tiles=tiles, cin=cin, cout=cout),
         grid=(nb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bp, zoco), lambda b: (b, 0),

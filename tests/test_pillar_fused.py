@@ -100,3 +100,42 @@ def test_unsupported_shape_uses_xla_path(setup):
     ref = _xla_reference(feats, nbr[:100], w, 3, 1, 1,
                          None, None, None, None, False)
     _check(got, ref)
+
+
+def test_z_tiled_band_stage0_shape(rng):
+    """Stage-0-like shape (z=41, C=16) triggers the z-tiled band path
+    (_tile_plan != None); parity vs the unfused reference, subm + stride-2
+    + full epilogue."""
+    from cmtcoop_tpu.ops.pillar_fused import _tile_plan
+
+    grid, _ = _grid(rng, hw=(32, 32), z=41, p_cap=256, density=0.35)
+    z, c, co = 41, 16, 16
+    p = grid.coords.shape[0]
+    nbr = pu.pillar_neighbor_map(grid)
+    occ = rng.uniform(size=(p, z)) < 0.3
+    occ &= np.asarray(grid.mask)[:, None]
+    feats = (rng.normal(size=(p, z, c)) * occ[..., None]).astype(np.float32)
+    w = rng.normal(size=(27, c, co)).astype(np.float32) * 0.2
+    assert _tile_plan(z, z, c, co, 3, 1, 1) is not None
+
+    scale = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+    got = fused_pillar_conv(
+        jnp.asarray(feats), nbr, jnp.asarray(w), scale=scale, bias=bias,
+        occ_out=jnp.asarray(occ), relu=True, interpret=True)
+    ref = _xla_reference(jnp.asarray(feats), nbr, jnp.asarray(w), 3, 1, 1,
+                         scale, bias, jnp.asarray(occ), None, True)
+    _check(got, ref, tol=2e-4)
+
+    # stride-2 down conv (z 41 -> 21, C 16 -> 32) also tiles
+    cod = 32
+    wd = rng.normal(size=(27, c, cod)).astype(np.float32) * 0.2
+    out_grid = pu.pillar_downsample_grid(grid, 128)
+    nbr_dn = pu.pillar_conv_neighbor_map(grid, out_grid)
+    assert _tile_plan(41, 21, c, cod, 3, 2, 1) is not None
+    got = fused_pillar_conv(
+        jnp.asarray(feats), nbr_dn, jnp.asarray(wd), z_stride=2, z_pad=1,
+        relu=True, interpret=True, win=1024)
+    ref = _xla_reference(jnp.asarray(feats), nbr_dn, jnp.asarray(wd),
+                         3, 2, 1, None, None, None, None, True)
+    _check(got, ref, tol=2e-4)
