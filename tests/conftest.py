@@ -32,3 +32,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop live executables between test modules.
+
+    One long single-process run accumulates every compiled executable; at
+    ~90 tests the XLA:CPU client segfaults inside backend_compile (seen
+    deterministically in test_schedule_resume when run after the full
+    suite prefix, never in isolation). The persistent on-disk cache
+    (JAX_COMPILATION_CACHE_DIR) keeps recompiles cheap.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

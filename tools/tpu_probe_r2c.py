@@ -81,8 +81,9 @@ def main():
     enc = PillarSparseEncoder(pillar_caps=caps, dtype=dtype)
     prebuilt = (pcoords[None], pmask[None], occ[None],
                 feats.astype(dtype)[None])
-    variables = jax.jit(enc.init)(jax.random.PRNGKey(0), None, None, None,
-                                  False, prebuilt)
+    variables = jax.jit(
+        lambda k, pb: enc.init(k, None, None, None, False, pb)
+    )(jax.random.PRNGKey(0), prebuilt)
 
     def enc_fn(c, vs, pb):
         pb = (pb[0], pb[1], pb[2], pb[3] + c.astype(dtype) * 0)
@@ -169,7 +170,8 @@ def main():
     bev = jnp.asarray(rng.normal(size=(1, 180, 180, 256))
                       .astype(np.float32)).astype(dtype)
     sec = SECOND((128, 256), (5, 5), dtype=dtype)
-    sv = jax.jit(sec.init)(jax.random.PRNGKey(0), bev, False)
+    sv = jax.jit(lambda k, b: sec.init(k, b, False))(
+        jax.random.PRNGKey(0), bev)
 
     def sec_fn(c, vs, b):
         outs = sec.apply(vs, b + c.astype(dtype) * 0, False)
@@ -178,7 +180,8 @@ def main():
 
     fpn = SECONDFPN((256, 256), dtype=dtype)
     outs = sec.apply(sv, bev, False)
-    fv = jax.jit(fpn.init)(jax.random.PRNGKey(0), outs, False)
+    fv = jax.jit(lambda k, o: fpn.init(k, o, False))(
+        jax.random.PRNGKey(0), outs)
 
     def fpn_fn(c, vs, o):
         o = [x + c.astype(dtype) * 0 for x in o]
