@@ -102,24 +102,76 @@ def build_pillars(
 def pillar_neighbor_map(grid: PillarGrid,
                         ky: int = 3, kx: int = 3,
                         exact=None) -> jnp.ndarray:
-    """(P, ky*kx) gather map of BEV neighbor pillars (misses -> P)."""
+    """(P, ky*kx) gather map of BEV neighbor pillars (misses -> P).
+
+    3x3 fast path: row-major sorted linear ids make the same-row taps pure
+    adjacency (the cell (y, x-1), if occupied, sits at sorted index q-1 —
+    nothing can sort between), and each dy row's three taps are consecutive
+    linear ids, resolved by ONE run-3 windowed lookup. 2 lookup passes + 3
+    shift-compares instead of 9 lookup passes."""
     p = grid.coords.shape[0]
     h, w = grid.hw
     lin = grid.linear_ids
-    oy, ox = jnp.meshgrid(jnp.arange(ky) - ky // 2,
-                          jnp.arange(kx) - kx // 2, indexing="ij")
-    offs = jnp.stack([oy.reshape(-1), ox.reshape(-1)], -1).astype(jnp.int32)
-    nbr = grid.coords[:, None, :] + offs[None]
-    valid = ((nbr[..., 0] >= 0) & (nbr[..., 0] < h) &
-             (nbr[..., 1] >= 0) & (nbr[..., 1] < w) & grid.mask[:, None])
-    qlin = nbr[..., 0] * w + nbr[..., 1]
-    qlin = jnp.where(grid.mask[:, None], qlin, INT32_MAX)
+    if ky != 3 or kx != 3:
+        oy, ox = jnp.meshgrid(jnp.arange(ky) - ky // 2,
+                              jnp.arange(kx) - kx // 2, indexing="ij")
+        offs = jnp.stack(
+            [oy.reshape(-1), ox.reshape(-1)], -1).astype(jnp.int32)
+        nbr = grid.coords[:, None, :] + offs[None]
+        valid = ((nbr[..., 0] >= 0) & (nbr[..., 0] < h) &
+                 (nbr[..., 1] >= 0) & (nbr[..., 1] < w) &
+                 grid.mask[:, None])
+        qlin = nbr[..., 0] * w + nbr[..., 1]
+        qlin = jnp.where(grid.mask[:, None], qlin, INT32_MAX)
 
-    pos_t, hit_t = guarded_lookup(lin, jnp.swapaxes(qlin, 0, 1),
-                                  exact=exact)
-    pos = jnp.swapaxes(pos_t, 0, 1)
-    hit = jnp.swapaxes(hit_t, 0, 1) & valid
-    return jnp.where(hit, jnp.minimum(pos, p - 1), p)
+        pos_t, hit_t = guarded_lookup(lin, jnp.swapaxes(qlin, 0, 1),
+                                      exact=exact)
+        pos = jnp.swapaxes(pos_t, 0, 1)
+        hit = jnp.swapaxes(hit_t, 0, 1) & valid
+        return jnp.where(hit, jnp.minimum(pos, p - 1), p)
+
+    y = grid.coords[:, 0]
+    x = grid.coords[:, 1]
+    idx = jnp.arange(p, dtype=jnp.int32)
+    m = grid.mask
+
+    # same-row taps by adjacency (x bounds exclude row-wrap false matches)
+    lin_prev = jnp.concatenate(
+        [jnp.full((1,), INT32_MAX, jnp.int32), lin[:-1]])
+    lin_next = jnp.concatenate(
+        [lin[1:], jnp.full((1,), INT32_MAX, jnp.int32)])
+    adj_l = m & (x > 0) & (lin_prev == lin - 1)
+    adj_r = m & (x < w - 1) & (lin_next == lin + 1)
+    col_l = jnp.where(adj_l, idx - 1, p)
+    col_c = jnp.where(m, idx, p)
+    col_r = jnp.where(adj_r, idx + 1, p)
+
+    def dy_cols(dy):
+        base = jnp.where(m, lin + dy * w - 1, INT32_MAX)
+        pos, hit, ovf = sorted_lookup(
+            lin, base, run=3, return_overflow=True, exact=exact)
+        yv = (y + dy >= 0) & (y + dy < h) & m
+        cols = []
+        for d, dx in enumerate((-1, 0, 1)):
+            ok = hit[:, d] & yv & (x + dx >= 0) & (x + dx < w)
+            cols.append(jnp.where(ok, jnp.minimum(pos[:, d], p - 1), p))
+        return cols, ovf
+
+    if exact or (exact is None and jax.default_backend() == "cpu"):
+        up, _ = dy_cols(-1)
+        dn, _ = dy_cols(1)
+        return jnp.stack(up + [col_l, col_c, col_r] + dn, axis=1)
+
+    up, ovf_u = dy_cols(-1)
+    dn, ovf_d = dy_cols(1)
+    fast = jnp.stack(up + [col_l, col_c, col_r] + dn, axis=1)
+
+    def exact_all(_):
+        return pillar_neighbor_map(grid, ky, kx, exact=True)
+
+    # windowed result is biased-to-miss on overflow: recompute exactly
+    # (lax.cond — callers batch with lax.map, never vmap)
+    return jax.lax.cond(ovf_u | ovf_d, exact_all, lambda _: fast, None)
 
 
 def pillar_downsample_grid(grid: PillarGrid, max_out: int,
@@ -171,23 +223,68 @@ def pillar_downsample_grid(grid: PillarGrid, max_out: int,
 def pillar_conv_neighbor_map(in_grid: PillarGrid, out_grid: PillarGrid,
                              stride: int = 2, k: int = 3,
                              pad: int = 1, exact=None) -> jnp.ndarray:
-    """(P_out, k*k) gather map into input pillars for a strided BEV conv."""
+    """(P_out, k*k) gather map into input pillars for a strided BEV conv.
+
+    k=3 fast path: each kernel row's k input cells are consecutive linear
+    ids -> one run-3 windowed lookup per dy (3 passes instead of 9)."""
     p_in = in_grid.coords.shape[0]
     h, w = in_grid.hw
     lin = in_grid.linear_ids
-    oy, ox = jnp.meshgrid(jnp.arange(k), jnp.arange(k), indexing="ij")
-    offs = jnp.stack([oy.reshape(-1), ox.reshape(-1)], -1).astype(jnp.int32)
-    src = out_grid.coords[:, None, :] * stride + offs[None] - pad
-    valid = ((src[..., 0] >= 0) & (src[..., 0] < h) &
-             (src[..., 1] >= 0) & (src[..., 1] < w) &
-             out_grid.mask[:, None])
-    qlin = src[..., 0] * w + src[..., 1]
-    qlin = jnp.where(out_grid.mask[:, None], qlin, INT32_MAX)
-    pos_t, hit_t = guarded_lookup(lin, jnp.swapaxes(qlin, 0, 1),
-                                  window=1024, exact=exact)
-    pos = jnp.swapaxes(pos_t, 0, 1)
-    hit = jnp.swapaxes(hit_t, 0, 1) & valid
-    return jnp.where(hit, jnp.minimum(pos, p_in - 1), p_in)
+    if k != 3:
+        oy, ox = jnp.meshgrid(jnp.arange(k), jnp.arange(k), indexing="ij")
+        offs = jnp.stack(
+            [oy.reshape(-1), ox.reshape(-1)], -1).astype(jnp.int32)
+        src = out_grid.coords[:, None, :] * stride + offs[None] - pad
+        valid = ((src[..., 0] >= 0) & (src[..., 0] < h) &
+                 (src[..., 1] >= 0) & (src[..., 1] < w) &
+                 out_grid.mask[:, None])
+        qlin = src[..., 0] * w + src[..., 1]
+        qlin = jnp.where(out_grid.mask[:, None], qlin, INT32_MAX)
+        pos_t, hit_t = guarded_lookup(lin, jnp.swapaxes(qlin, 0, 1),
+                                      window=1024, exact=exact)
+        pos = jnp.swapaxes(pos_t, 0, 1)
+        hit = jnp.swapaxes(hit_t, 0, 1) & valid
+        return jnp.where(hit, jnp.minimum(pos, p_in - 1), p_in)
+
+    oy = out_grid.coords[:, 0]
+    ox = out_grid.coords[:, 1]
+    om = out_grid.mask
+
+    def dy_cols(dy):
+        sy = oy * stride + dy - pad
+        sx0 = ox * stride - pad
+        base = jnp.where(om, sy * w + sx0, INT32_MAX)
+        pos, hit, ovf = sorted_lookup(
+            lin, base, run=3, window=1024, return_overflow=True,
+            exact=exact)
+        yv = (sy >= 0) & (sy < h) & om
+        cols = []
+        for d in range(3):
+            ok = hit[:, d] & yv & (sx0 + d >= 0) & (sx0 + d < w)
+            cols.append(jnp.where(ok, jnp.minimum(pos[:, d], p_in - 1),
+                                  p_in))
+        return cols, ovf
+
+    if exact or (exact is None and jax.default_backend() == "cpu"):
+        cols = []
+        for dy in range(3):
+            c, _ = dy_cols(dy)
+            cols += c
+        return jnp.stack(cols, axis=1)
+
+    cols, ovfs = [], []
+    for dy in range(3):
+        c, o = dy_cols(dy)
+        cols += c
+        ovfs.append(o)
+    fast = jnp.stack(cols, axis=1)
+
+    def exact_all(_):
+        return pillar_conv_neighbor_map(in_grid, out_grid, stride, k, pad,
+                                        exact=True)
+
+    return jax.lax.cond(
+        ovfs[0] | ovfs[1] | ovfs[2], exact_all, lambda _: fast, None)
 
 
 def pillar_conv(

@@ -34,7 +34,8 @@ class SparseGrid(NamedTuple):
 def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
                   block: int = 128, window: int = 512,
                   exact: Optional[bool] = None,
-                  return_overflow: bool = False):
+                  return_overflow: bool = False,
+                  run: int = 1):
     """(positions, hit[, overflow]) of *sorted* int32 queries in sorted
     int32 keys.
 
@@ -44,6 +45,14 @@ def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
     every `block`-th query (cheap), then resolve each query by counting keys
     inside a contiguous `window` slice starting at its block's start —
     dynamic-slice loads + broadcast compares, all VPU.
+
+    With `run` > 1, resolves queries+d for every d in [0, run) in the SAME
+    window pass, returning pos/hit shaped (n, run). For integer keys
+    count(keys < q+d+1) == count(keys <= q+d), so a run of r deltas costs
+    r+1 compare-counts instead of 2r, and shares the block starts + windows
+    — this is what makes 3x3 neighbor maps cheap: the three dx taps of one
+    dy row are consecutive linear ids (one run-3 lookup per dy instead of
+    three independent ones).
 
     Exact iff no query block spans more than `window` keys — guaranteed when
     queries are at least as locally dense as keys (e.g. dense-cell queries,
@@ -55,16 +64,25 @@ def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
     """
     n = queries.shape[0]
     nk = keys.shape[0]
+    big = jnp.iinfo(jnp.int32).max
     if exact or (exact is None and jax.default_backend() == "cpu"):
-        pos = jnp.searchsorted(keys, queries, side="left").astype(jnp.int32)
-        pos_c = jnp.minimum(pos, nk - 1)
-        hit = (keys[pos_c] == queries) & (pos < nk)
+        def one(d):
+            q = jnp.where(queries == big, big, queries + d)
+            pos = jnp.searchsorted(keys, q, side="left").astype(jnp.int32)
+            pos_c = jnp.minimum(pos, nk - 1)
+            hit = (keys[pos_c] == q) & (pos < nk)
+            return pos, hit
+        if run == 1:
+            pos, hit = one(0)
+        else:
+            ps, hs = zip(*(one(d) for d in range(run)))
+            pos = jnp.stack(ps, axis=-1)
+            hit = jnp.stack(hs, axis=-1)
         if return_overflow:
             return pos, hit, jnp.zeros((), bool)
         return pos, hit
 
     pad = (-n) % block
-    big = jnp.iinfo(jnp.int32).max
     queries_p = jnp.concatenate(
         [queries, jnp.full((pad,), big, queries.dtype)]) if pad else queries
     nb = queries_p.shape[0] // block
@@ -82,38 +100,45 @@ def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
     )(starts)  # (nb, window) contiguous slices
 
     # chunked compare-count so the (nb, block, window) broadcast never
-    # materializes (it would be GBs at production sizes)
+    # materializes (it would be GBs at production sizes). lt[d] counts
+    # keys < q + d for d in 0..run (lt[run] doubles as le of q+run-1).
     chunk = min(128, window)
 
     def body(carry, i):
-        lt_c, le_c = carry
         wc = jax.lax.dynamic_slice_in_dim(windows, i * chunk, chunk, axis=1)
-        lt_c = lt_c + jnp.sum(
-            wc[:, None, :] < q_blocks[:, :, None], axis=-1,
-            dtype=jnp.int32)
-        le_c = le_c + jnp.sum(
-            wc[:, None, :] <= q_blocks[:, :, None], axis=-1,
-            dtype=jnp.int32)
-        return (lt_c, le_c), None
+        return tuple(
+            c + jnp.sum(wc[:, None, :] < q_blocks[:, :, None] + d, axis=-1,
+                        dtype=jnp.int32)
+            for d, c in enumerate(carry)), None
 
     zeros = jnp.zeros((nb, block), jnp.int32)
-    (lt, le), _ = jax.lax.scan(
-        body, (zeros, zeros), jnp.arange(window // chunk))
-    pos = jnp.minimum(starts[:, None] + lt, next_starts[:, None])
-    hit = (le > lt) & (q_blocks != big)
+    counts, _ = jax.lax.scan(
+        body, (zeros,) * (run + 1), jnp.arange(window // chunk))
+
+    def resolve(d):
+        pos = jnp.minimum(starts[:, None] + counts[d], next_starts[:, None])
+        hit = (counts[d + 1] > counts[d]) & (q_blocks != big)
+        return pos.reshape(-1)[:n], hit.reshape(-1)[:n]
+
+    if run == 1:
+        pos, hit = resolve(0)
+    else:
+        ps, hs = zip(*(resolve(d) for d in range(run)))
+        pos = jnp.stack(ps, axis=-1)
+        hit = jnp.stack(hs, axis=-1)
     if return_overflow:
         # a block is resolved exactly iff every key its REAL queries can
         # map to lies inside the window: the insertion point (side=right,
-        # so the equal key is included) of the block's last real query must
-        # be within `window` of the block start. Sentinel (big) queries
-        # never hit, so they don't constrain the window.
+        # so the equal key is included) of the block's last real query
+        # (+ run - 1) must be within `window` of the block start. Sentinel
+        # (big) queries never hit, so they don't constrain the window.
         neg = jnp.iinfo(jnp.int32).min
         q_last = jnp.max(jnp.where(q_blocks == big, neg, q_blocks), axis=1)
         ends = jnp.searchsorted(
-            keys, q_last, side="right").astype(jnp.int32)
+            keys, q_last + (run - 1), side="right").astype(jnp.int32)
         overflow = jnp.any(ends - starts > window)
-        return pos.reshape(-1)[:n], hit.reshape(-1)[:n], overflow
-    return pos.reshape(-1)[:n], hit.reshape(-1)[:n]
+        return pos, hit, overflow
+    return pos, hit
 
 
 def guarded_lookup(keys: jnp.ndarray, qlin_t: jnp.ndarray,

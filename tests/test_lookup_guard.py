@@ -77,3 +77,93 @@ def test_pillar_neighbor_map_exact_across_density_wall():
     got = np.asarray(pu.pillar_neighbor_map(grid, exact=False))
     ref = np.asarray(pu.pillar_neighbor_map(grid, exact=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def _brute_force_subm(coords, mask, hw):
+    """Dict-based 3x3 neighbor map oracle."""
+    h, w = hw
+    p = len(mask)
+    where = {}
+    for i in range(p):
+        if mask[i]:
+            where[(int(coords[i, 0]), int(coords[i, 1]))] = i
+    out = np.full((p, 9), p, np.int64)
+    for i in range(p):
+        if not mask[i]:
+            continue
+        y, x = int(coords[i, 0]), int(coords[i, 1])
+        for j, (dy, dx) in enumerate(
+                [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)]):
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx < w and (ny, nx) in where:
+                out[i, j] = where[(ny, nx)]
+    return out
+
+
+def _rand_grid(rng, h, w, n, p_cap):
+    cells = rng.choice(h * w, size=n, replace=False)
+    cells.sort()
+    coords = np.stack([cells // w, cells % w], -1).astype(np.int32)
+    pad = np.full((p_cap - n, 2), -1, np.int32)
+    mask = np.zeros((p_cap,), bool)
+    mask[:n] = True
+    return pu.PillarGrid(
+        jnp.asarray(np.concatenate([coords, pad])), jnp.asarray(mask),
+        (h, w), 8)
+
+
+def test_pillar_neighbor_map_vs_brute_force(rng):
+    """Fast path (adjacency + run-3 lookups) against a dict oracle, both
+    windowed and exact, over mixed densities incl. borders."""
+    for h, w, n in [(32, 48, 300), (16, 16, 256), (64, 64, 1)]:
+        cap = max(512, n)
+        grid = _rand_grid(rng, h, w, n, cap)
+        ref = _brute_force_subm(
+            np.asarray(grid.coords), np.asarray(grid.mask), (h, w))
+        ref = np.where(ref == len(grid.mask), grid.coords.shape[0], ref)
+        for exact in (True, False):
+            got = np.asarray(pu.pillar_neighbor_map(grid, exact=exact))
+            np.testing.assert_array_equal(got, ref, err_msg=f"exact={exact}")
+
+
+def test_pillar_conv_neighbor_map_vs_brute_force(rng):
+    h, w, n = 32, 48, 400
+    grid = _rand_grid(rng, h, w, n, 512)
+    out = pu.pillar_downsample_grid(grid, 512)
+    oc, om = np.asarray(out.coords), np.asarray(out.mask)
+    ic, im = np.asarray(grid.coords), np.asarray(grid.mask)
+    where = {(int(ic[i, 0]), int(ic[i, 1])): i
+             for i in range(len(im)) if im[i]}
+    p_in = len(im)
+    ref = np.full((len(om), 9), p_in, np.int64)
+    for i in range(len(om)):
+        if not om[i]:
+            continue
+        for j, (dy, dx) in enumerate(
+                [(a, b) for a in (0, 1, 2) for b in (0, 1, 2)]):
+            sy, sx = int(oc[i, 0]) * 2 + dy - 1, int(oc[i, 1]) * 2 + dx - 1
+            if 0 <= sy < h and 0 <= sx < w and (sy, sx) in where:
+                ref[i, j] = where[(sy, sx)]
+    for exact in (True, False):
+        got = np.asarray(pu.pillar_conv_neighbor_map(grid, out,
+                                                     exact=exact))
+        np.testing.assert_array_equal(got, ref, err_msg=f"exact={exact}")
+
+
+def test_sorted_lookup_run_matches_independent(rng):
+    keys = np.sort(rng.choice(100000, size=3000, replace=False)
+                   ).astype(np.int32)
+    queries = np.sort(rng.choice(100000, size=1000, replace=False)
+                      ).astype(np.int32)
+    kj, qj = jnp.asarray(keys), jnp.asarray(queries)
+    for exact in (True, False):
+        pos, hit = su.sorted_lookup(kj, qj, run=3, exact=exact)
+        for d in range(3):
+            pd, hd = su.sorted_lookup(kj, jnp.asarray(queries + d),
+                                      exact=True)
+            real = np.asarray(hit[:, d])
+            np.testing.assert_array_equal(real, np.asarray(hd),
+                                          err_msg=f"exact={exact} d={d}")
+            np.testing.assert_array_equal(
+                np.asarray(pos[:, d])[real], np.asarray(pd)[real],
+                err_msg=f"exact={exact} d={d}")
