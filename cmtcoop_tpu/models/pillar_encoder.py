@@ -29,9 +29,10 @@ class PillarConv(nn.Module):
     z_stride: int = 1
     z_pad: int = 1
     dtype: Any = jnp.float32
-    # windowed-kernel tunables (see ops/pillar_fused.py); down-convs need a
-    # wider window because an output block's taps span 2x the BEV area
-    win: int = 512
+    # per-dy-row window for the v2 fused kernel (ops/pillar_fused.py);
+    # measured p99 spans: subm ~160 at every level, down (~180, ~370, ~490)
+    win: int = 256
+    subm: bool = False
 
     @nn.compact
     def __call__(self, feats, nbr, scale=None, bias=None, occ_out=None,
@@ -60,7 +61,7 @@ class PillarConv(nn.Module):
                 return fused_pillar_conv(
                     a[0], a[1], w, kz=self.kz, z_stride=self.z_stride,
                     z_pad=self.z_pad, scale=scale, bias=bias, relu=relu,
-                    win=self.win, **kw)
+                    win=self.win, subm=self.subm, **kw)
             # sequential over batch: the kernel saturates the chip per
             # sample, and lax.map keeps pallas_call out from under vmap
             return jax.lax.map(one, tuple(args))
@@ -84,13 +85,14 @@ class PillarConvBlock(nn.Module):
     z_stride: int = 1
     z_pad: int = 1
     dtype: Any = jnp.float32
-    win: int = 512
+    win: int = 256
+    subm: bool = False
 
     @nn.compact
     def __call__(self, feats, nbr, occ_out, train: bool = False):
         conv = PillarConv(self.features, self.kernel_volume, self.kz,
                           self.z_stride, self.z_pad, self.dtype,
-                          win=self.win, name="conv")
+                          win=self.win, subm=self.subm, name="conv")
         bn = MaskedBatchNorm(dtype=self.dtype, name="bn")
         if not train:
             s, b = bn(jnp.zeros((1, self.features)), fold=True)
@@ -105,16 +107,16 @@ class PillarBasicBlock(nn.Module):
     """SparseBasicBlock on pillar tiles (submanifold: same sites)."""
     features: int
     dtype: Any = jnp.float32
-    win: int = 512
+    win: int = 256
 
     @nn.compact
     def __call__(self, feats, nbr, occ, train: bool = False):
         identity = feats
         conv1 = PillarConv(self.features, 27, 3, 1, 1, self.dtype,
-                           win=self.win, name="conv1")
+                           win=self.win, subm=True, name="conv1")
         bn1 = MaskedBatchNorm(dtype=self.dtype, name="bn1")
         conv2 = PillarConv(self.features, 27, 3, 1, 1, self.dtype,
-                           win=self.win, name="conv2")
+                           win=self.win, subm=True, name="conv2")
         bn2 = MaskedBatchNorm(dtype=self.dtype, name="bn2")
         if not train:
             s1, b1 = bn1(jnp.zeros((1, self.features)), fold=True)
@@ -140,13 +142,13 @@ class PillarSparseEncoder(nn.Module):
         (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
     output_channels: int = 128
     pillar_caps: Sequence[int] = (40000, 24000, 16000, 16000)
-    # per-stage window sizes for the fused kernel. Measured p100 spans on a
-    # realistic TUMTraf cloud: subm (512, 512, 561, 475), down (215, 505,
-    # 1024) — stage 2's subm span EXCEEDS 512 (the deeper grid is denser
-    # relative to its extent), which silently sent every stage-2 conv to
-    # the slow fallback via the exactness guard. Sized with margin.
-    subm_wins: Sequence[int] = (640, 640, 768, 640)
-    down_wins: Sequence[int] = (1280, 1280, 1536)
+    # PER-DY-ROW window sizes for the v2 fused kernel (one window per
+    # kernel row instead of one union window — ops/pillar_fused.py).
+    # Measured per-dy p100 spans on a realistic TUMTraf cloud: subm <=178
+    # at every level, down (~225, ~400, ~490). Sized with margin; the
+    # runtime exactness guard falls back to the XLA path on overflow.
+    subm_wins: Sequence[int] = (256, 256, 256, 256)
+    down_wins: Sequence[int] = (384, 512, 640)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -177,7 +179,7 @@ class PillarSparseEncoder(nn.Module):
 
         nbr = vnbr(grid)
         x = PillarConvBlock(self.base_channels, 27, 3, 1, 1, self.dtype,
-                            win=self.subm_wins[0],
+                            win=self.subm_wins[0], subm=True,
                             name="conv_input")(x, nbr, occ, train)
 
         down_zpads = [1, 1, 0]

@@ -139,3 +139,43 @@ def test_z_tiled_band_stage0_shape(rng):
     ref = _xla_reference(jnp.asarray(feats), nbr_dn, jnp.asarray(wd),
                          3, 2, 1, None, None, None, None, True)
     _check(got, ref, tol=2e-4)
+
+
+def test_subm_shift_path_parity(rng):
+    """subm=True replaces the middle-row one-hots with adjacency shifts;
+    parity vs the unfused reference on a real subm map with borders."""
+    grid, _ = _grid(rng, hw=(32, 32), z=11, p_cap=256, density=0.4)
+    z, c = 11, 64
+    p = grid.coords.shape[0]
+    nbr = pu.pillar_neighbor_map(grid)
+    occ = rng.uniform(size=(p, z)) < 0.4
+    occ &= np.asarray(grid.mask)[:, None]
+    feats = (rng.normal(size=(p, z, c)) * occ[..., None]).astype(np.float32)
+    w = rng.normal(size=(27, c, c)).astype(np.float32) * 0.1
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    resid = jnp.asarray(rng.normal(size=(p, z, c)).astype(np.float32))
+    got = fused_pillar_conv(
+        jnp.asarray(feats), nbr, jnp.asarray(w), scale=scale, bias=bias,
+        occ_out=jnp.asarray(occ), residual=resid, relu=True, subm=True,
+        interpret=True)
+    ref = _xla_reference(jnp.asarray(feats), nbr, jnp.asarray(w), 3, 1, 1,
+                         scale, bias, jnp.asarray(occ), resid, True)
+    _check(got, ref, tol=2e-4)
+
+
+def test_subm_flag_on_non_subm_map_falls_back(rng):
+    """A strided conv map passed with subm=True violates the adjacency
+    structure; the runtime check must route to the exact XLA path."""
+    grid, _ = _grid(rng, hw=(32, 32), z=11, p_cap=256, density=0.4)
+    z, c = 11, 32
+    out_grid = pu.pillar_downsample_grid(grid, 256)
+    nbr_dn = pu.pillar_conv_neighbor_map(grid, out_grid)
+    feats = rng.normal(size=(grid.coords.shape[0], z, c)).astype(np.float32)
+    w = rng.normal(size=(27, c, c)).astype(np.float32) * 0.1
+    got = fused_pillar_conv(
+        jnp.asarray(feats), nbr_dn, jnp.asarray(w), z_stride=2, z_pad=1,
+        relu=True, subm=True, interpret=True)
+    ref = _xla_reference(jnp.asarray(feats), nbr_dn, jnp.asarray(w),
+                         3, 2, 1, None, None, None, None, True)
+    _check(got, ref)

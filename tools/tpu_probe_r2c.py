@@ -135,7 +135,7 @@ def main():
     rng = np.random.default_rng(0)
     zs = [41, 21, 11, 5]
     chans = [16, 32, 64, 128]
-    wins = [640, 640, 768, 640]
+    wins = [256, 256, 256, 256]
     for i, g in enumerate(grids):
         p_, z_, c_ = g.coords.shape[0], zs[i], chans[i]
         x = jnp.asarray(rng.normal(size=(p_, z_, c_)).astype(np.float32)
@@ -149,7 +149,7 @@ def main():
             y = fused_pillar_conv(
                 x_ + c.astype(dtype) * 0, nbr_, w_,
                 scale=jnp.ones((c_,)), bias=jnp.zeros((c_,)),
-                occ_out=oc_, relu=True, win=wins[i])
+                occ_out=oc_, relu=True, win=wins[i], subm=True)
             return y.astype(jnp.float32).sum() * 1e-20
         loop_time(conv_fn, x, nbr, w, oc, name=f"subm_conv L{i} "
                   f"{p_}x{z_}x{c_}")
