@@ -148,8 +148,11 @@ def pillar_neighbor_map(grid: PillarGrid,
 
     def dy_cols(dy):
         base = jnp.where(m, lin + dy * w - 1, INT32_MAX)
+        # measured p100 span <=178 per 128-query block on realistic
+        # clouds; the overflow guard falls back to exact on violation
         pos, hit, ovf = sorted_lookup(
-            lin, base, run=3, return_overflow=True, exact=exact)
+            lin, base, run=3, window=256, return_overflow=True,
+            exact=exact)
         yv = (y + dy >= 0) & (y + dy < h) & m
         cols = []
         for d, dx in enumerate((-1, 0, 1)):
@@ -211,7 +214,7 @@ def pillar_downsample_grid(grid: PillarGrid, max_out: int,
     slots = jnp.arange(max_out, dtype=jnp.int32)
     # window bound by construction: <= k*k inputs nominate one output cell,
     # so a 128-slot block spans <= 128*9 = 1152 duplicate ranks
-    pos, _ = sorted_lookup(rank, slots, window=2048)
+    pos, _ = sorted_lookup(rank, slots, window=1280)
     uniq = slin[jnp.minimum(pos, slin.shape[0] - 1)]
     out_mask = slots < n_uniq
     coords = jnp.where(
@@ -254,8 +257,9 @@ def pillar_conv_neighbor_map(in_grid: PillarGrid, out_grid: PillarGrid,
         sy = oy * stride + dy - pad
         sx0 = ox * stride - pad
         base = jnp.where(om, sy * w + sx0, INT32_MAX)
+        # measured p100 span <=490 per 128-query block (stage 2)
         pos, hit, ovf = sorted_lookup(
-            lin, base, run=3, window=1024, return_overflow=True,
+            lin, base, run=3, window=512, return_overflow=True,
             exact=exact)
         yv = (sy >= 0) & (sy < h) & om
         cols = []
