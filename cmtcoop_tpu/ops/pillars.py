@@ -438,24 +438,40 @@ def pillarize(
     n_pillars = jnp.minimum(n_pillars, max_pillars)
     ok = valid_pt & (pos_in_run < max_points) & (prank < max_pillars)
 
-    # pillar head positions, scatter-free: stable argsort of ~phead puts
-    # head positions first in ascending order. A tail marker at the first
-    # invalid point bounds the LAST retained pillar's extent, so the
-    # overflow check below measures real pillar sizes — not the truncated
-    # tail beyond the pillar cap (which is dropped, not windowed).
-    pil_ext = jnp.concatenate(
-        [pil, jnp.full((1,), INT32_MAX, jnp.int32)])
-    tailhead = jnp.concatenate(
-        [pil_ext[:1] == INT32_MAX,
-         (pil_ext[1:] == INT32_MAX) & (pil_ext[:-1] != INT32_MAX)])
-    phead_ext = jnp.concatenate([phead, jnp.zeros((1,), bool)])
-    heads_pos = jnp.argsort(~(phead_ext | tailhead)).astype(jnp.int32)
-    if heads_pos.shape[0] < max_pillars + 1:
-        heads_pos = jnp.concatenate(
-            [heads_pos,
-             jnp.full((max_pillars + 1 - heads_pos.shape[0],), n,
-                      jnp.int32)])
-    pstart = heads_pos[:max_pillars]
+    # pillar head positions, scatter-free: prank is non-decreasing over the
+    # sorted points, so the first point of pillar r is the left insertion
+    # point of r — one windowed rank lookup instead of a second full
+    # argsort (the round-1 implementation; ~2 ms/agent on TPU). Misses
+    # (r >= n_pillars) resolve to the tail position, which doubles as the
+    # extent bound of the LAST retained pillar for the overflow check.
+    # Duplicates per rank = raw points per pillar (unbounded), so overflow
+    # falls back to the argsort path.
+    rank_keys = jnp.where(pil != INT32_MAX, prank, INT32_MAX)
+    slots = jnp.arange(max_pillars, dtype=jnp.int32)
+    pos_r, _, ovf_r = sorted_lookup(
+        rank_keys, slots, window=2048, return_overflow=True)
+    n_valid = jnp.sum((pil != INT32_MAX).astype(jnp.int32))
+
+    def pstart_lookup(_):
+        return jnp.minimum(pos_r, n).astype(jnp.int32), n_valid
+
+    def pstart_argsort(_):
+        pil_ext = jnp.concatenate(
+            [pil, jnp.full((1,), INT32_MAX, jnp.int32)])
+        tailhead = jnp.concatenate(
+            [pil_ext[:1] == INT32_MAX,
+             (pil_ext[1:] == INT32_MAX) & (pil_ext[:-1] != INT32_MAX)])
+        phead_ext = jnp.concatenate([phead, jnp.zeros((1,), bool)])
+        heads_pos = jnp.argsort(~(phead_ext | tailhead)).astype(jnp.int32)
+        if heads_pos.shape[0] < max_pillars + 1:
+            heads_pos = jnp.concatenate(
+                [heads_pos,
+                 jnp.full((max_pillars + 1 - heads_pos.shape[0],), n,
+                          jnp.int32)])
+        return heads_pos[:max_pillars], heads_pos[max_pillars]
+
+    pstart, tail_pos = jax.lax.cond(
+        ovf_r, pstart_argsort, pstart_lookup, None)
     pmask = jnp.arange(max_pillars, dtype=jnp.int32) < n_pillars
     plin = jnp.where(pmask, skey[jnp.minimum(pstart, n - 1)] // z_extent, -1)
     pcoords = jnp.where(
@@ -547,7 +563,7 @@ def pillarize(
     # window (block boundaries measured to the next real head / the tail
     # marker, so the dropped beyond-cap tail never false-positives)
     bnext = jnp.concatenate(
-        [pstart[128::128], heads_pos[max_pillars:max_pillars + 1]])
+        [pstart[128::128], tail_pos[None]])
     overflow = jnp.any(bnext - pstart[::128] > 4 * win)
     sums, counts = jax.lax.cond(overflow, slow, fast, None)
     occ = (counts > 0) & pmask[:, None]
