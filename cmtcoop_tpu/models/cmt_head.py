@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from cmtcoop_tpu.core.boxes import inverse_sigmoid, normalize_01
-from cmtcoop_tpu.core.pos_embed import (bev_grid_coords, depth_bins,
+from cmtcoop_tpu.core.pos_embed import (bev_pos2embed_grid, depth_bins,
                                         frustum_coords, pos2embed)
 from cmtcoop_tpu.models.layers import MLP, ConvBNReLU
 from cmtcoop_tpu.models.petr_decoder import PETRTransformerDecoder
@@ -351,11 +351,12 @@ class CmtHead(nn.Module):
             x = self.shared_conv(agent.bev_feat, self.train_mode)
             hb, wb = x.shape[1], x.shape[2]
             bev_tokens = x.reshape(batch, hb * wb, self.hidden_dim)
-            coords = bev_grid_coords(
-                (self.grid_size[1], self.grid_size[0]),
-                self.downsample_scale)
+            # separable table: H+W sin/cos instead of H*W (pos_embed.py)
             bev_pos = self.bev_embedding(
-                pos2embed(coords, self.hidden_dim).astype(self.dtype))
+                bev_pos2embed_grid(
+                    (self.grid_size[1], self.grid_size[0]),
+                    self.downsample_scale,
+                    self.hidden_dim).astype(self.dtype))
             mem_parts.append(bev_tokens)
             pos_parts.append(jnp.broadcast_to(
                 bev_pos[None], (batch,) + bev_pos.shape))

