@@ -450,10 +450,14 @@ def pillarize(
     slots = jnp.arange(max_pillars, dtype=jnp.int32)
     pos_r, _, ovf_r = sorted_lookup(
         rank_keys, slots, window=2048, return_overflow=True)
-    n_valid = jnp.sum((pil != INT32_MAX).astype(jnp.int32))
+    # tail = first point of the first DROPPED pillar (beyond-cap points
+    # must not count toward the last block's extent, or the fast/slow
+    # check below false-fires on any capped cloud — 104 ms slow path)
+    n_keep = jnp.sum(
+        ((pil != INT32_MAX) & (prank < max_pillars)).astype(jnp.int32))
 
     def pstart_lookup(_):
-        return jnp.minimum(pos_r, n).astype(jnp.int32), n_valid
+        return jnp.minimum(pos_r, n).astype(jnp.int32), n_keep
 
     def pstart_argsort(_):
         pil_ext = jnp.concatenate(
