@@ -144,11 +144,12 @@ class PillarSparseEncoder(nn.Module):
     pillar_caps: Sequence[int] = (40000, 24000, 16000, 16000)
     # PER-DY-ROW window sizes for the v2 fused kernel (one window per
     # kernel row instead of one union window — ops/pillar_fused.py).
-    # Measured per-dy p100 spans on a realistic TUMTraf cloud: subm <=178
-    # at every level, down (~225, ~400, ~490). Sized with margin; the
-    # runtime exactness guard falls back to the XLA path on overflow.
-    subm_wins: Sequence[int] = (256, 256, 256, 256)
-    down_wins: Sequence[int] = (384, 512, 640)
+    # Measured per-dy p100 spans on two realistic clouds: subm <=178 at
+    # every level, down (~225, ~400, ~490). Sized to the span; an unusual
+    # cloud pays one 2x-window retry (kernel's runtime ladder), not the
+    # exact fallback.
+    subm_wins: Sequence[int] = (192, 192, 192, 192)
+    down_wins: Sequence[int] = (256, 448, 512)
     dtype: Any = jnp.float32
 
     @nn.compact

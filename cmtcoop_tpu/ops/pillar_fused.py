@@ -366,8 +366,9 @@ def fused_pillar_conv(
     if use_v2:
         win_mid = bp + 2 * PADG if subm else win
         # padded row space: PADG zero guard rows + tail so any window read
-        # stays in bounds (group starts are clipped to [0, p_in])
-        tail = max(win, win_mid)
+        # stays in bounds (group starts are clipped to [0, p_in]); tail
+        # sized for the 2x retry window
+        tail = max(2 * win, win_mid)
         rows = jnp.pad(rows, ((PADG, tail), (0, 0)))
 
         def group(taps, wind):
@@ -381,26 +382,33 @@ def fused_pillar_conv(
             return (gstart + PADG, jnp.where(inw, loc, wind).astype(
                 jnp.int32), ovf)
 
-        s0, loc0, ovf0 = group([0, 1, 2], win)
-        s2, loc2, ovf2 = group([6, 7, 8], win)
+        def window_plan(wind):
+            s0, loc0, ovf0 = group([0, 1, 2], wind)
+            s2, loc2, ovf2 = group([6, 7, 8], wind)
+            if subm:
+                overflow = ovf0 | ovf2 | struct_bad
+                s1 = jnp.zeros_like(s0)  # unused: mid start is blk*bp
+                local = jnp.concatenate(
+                    [loc0, loc2], axis=2).reshape(nb * bp, 6)
+            else:
+                s1, loc1, ovf1 = group([3, 4, 5], wind)
+                overflow = ovf0 | ovf1 | ovf2
+                local = jnp.concatenate(
+                    [loc0, loc1, loc2], axis=2).reshape(nb * bp, 9)
+            return jnp.stack([s0, s1, s2], axis=1), local, overflow
+
         if subm:
             gidx = jnp.arange(p_out, dtype=jnp.int32)
             flat = nbr
             ok = ((flat[:, 4] == gidx) | (flat[:, 4] == p_in)) & \
                  ((flat[:, 3] == gidx - 1) | (flat[:, 3] == p_in)) & \
                  ((flat[:, 5] == gidx + 1) | (flat[:, 5] == p_in))
-            overflow = ovf0 | ovf2 | jnp.any(~ok)
-            s1 = jnp.zeros_like(s0)  # unused: mid start is blk*bp
-            local = jnp.concatenate(
-                [loc0, loc2], axis=2).reshape(nb * bp, 6)
+            struct_bad = jnp.any(~ok)
             adj = (flat[:, 3:6] < p_in).astype(feats.dtype)
         else:
-            s1, loc1, ovf1 = group([3, 4, 5], win)
-            overflow = ovf0 | ovf1 | ovf2
-            local = jnp.concatenate(
-                [loc0, loc1, loc2], axis=2).reshape(nb * bp, 9)
+            struct_bad = jnp.zeros((), bool)
             adj = None
-        start = jnp.stack([s0, s1, s2], axis=1)          # (nb, 3)
+        start, local, overflow = window_plan(win)
     else:
         if p_in < win:
             rows = jnp.pad(rows, ((0, win - p_in), (0, 0)))
@@ -448,7 +456,7 @@ def fused_pillar_conv(
         pl.BlockSpec((bp, n_loc), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),                    # local idx
     ]
-    operands = [start, local]
+    operands = []
     if use_v2 and subm:
         in_specs.append(pl.BlockSpec((bp, 3), lambda b: (b, 0),
                                      memory_space=pltpu.VMEM))
@@ -475,44 +483,62 @@ def fused_pillar_conv(
     ]
     operands += [rows, band]
 
-    if use_v2:
-        body = functools.partial(
-            _fused_kernel_v2, win_d=win, win_mid=win_mid, bp=bp,
-            zoco=zoco, subm=subm, has_bias=has_bias, has_resid=has_resid,
-            has_occ=has_occ, relu=relu, tiles=tiles, cin=cin, cout=cout)
-        scratch = [
-            pltpu.VMEM((2, win, zcp), feats.dtype),
-            pltpu.VMEM((2, win_mid, zcp), feats.dtype),
-            pltpu.VMEM((2, win, zcp), feats.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ]
-    else:
-        body = functools.partial(
-            _fused_kernel, win=win, bp=bp, kb=kb, zoco=zoco,
-            has_bias=has_bias, has_resid=has_resid, has_occ=has_occ,
-            relu=relu, tiles=tiles, cin=cin, cout=cout)
-        scratch = [
-            pltpu.VMEM((2, win, zcp), feats.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
-    kernel = pl.pallas_call(
-        body,
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((bp, zoco), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p_out, zoco), feats.dtype),
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )
-
-    def fast(_):
-        return kernel(*operands).reshape(p_out, z_out, cout)
+    def make_kernel(wind):
+        if use_v2:
+            wmid = bp + 2 * PADG if subm else wind
+            body = functools.partial(
+                _fused_kernel_v2, win_d=wind, win_mid=wmid, bp=bp,
+                zoco=zoco, subm=subm, has_bias=has_bias,
+                has_resid=has_resid, has_occ=has_occ, relu=relu,
+                tiles=tiles, cin=cin, cout=cout)
+            scratch = [
+                pltpu.VMEM((2, wind, zcp), feats.dtype),
+                pltpu.VMEM((2, wmid, zcp), feats.dtype),
+                pltpu.VMEM((2, wind, zcp), feats.dtype),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ]
+        else:
+            body = functools.partial(
+                _fused_kernel, win=wind, bp=bp, kb=kb, zoco=zoco,
+                has_bias=has_bias, has_resid=has_resid, has_occ=has_occ,
+                relu=relu, tiles=tiles, cin=cin, cout=cout)
+            scratch = [
+                pltpu.VMEM((2, wind, zcp), feats.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        return pl.pallas_call(
+            body,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bp, zoco), lambda b: (b, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((p_out, zoco), feats.dtype),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )
 
     def slow(_):
         return _xla_reference(feats, nbr, weights, kz, z_stride, z_pad,
                               scale, bias, occ_out, residual, relu)
 
-    return jax.lax.cond(overflow, slow, fast, None)
+    def fast(_):
+        out = make_kernel(win)(start, local, *operands)
+        return out.reshape(p_out, z_out, cout)
+
+    if not use_v2:
+        return jax.lax.cond(overflow, slow, fast, None)
+
+    # retry ladder: win -> 2x win -> XLA reference. Windows are sized to
+    # measured p100 spans with thin margins; an unusual cloud pays one 2x
+    # retry instead of the catastrophic exact path.
+    start2, local2, ovf_wide = window_plan(2 * win)
+
+    def retry(_):
+        def fast2(_):
+            out = make_kernel(2 * win)(start2, local2, *operands)
+            return out.reshape(p_out, z_out, cout)
+        return jax.lax.cond(ovf_wide, slow, fast2, None)
+
+    return jax.lax.cond(overflow, retry, fast, None)

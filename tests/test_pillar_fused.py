@@ -179,3 +179,24 @@ def test_subm_flag_on_non_subm_map_falls_back(rng):
     ref = _xla_reference(jnp.asarray(feats), nbr_dn, jnp.asarray(w),
                          3, 2, 1, None, None, None, None, True)
     _check(got, ref)
+
+
+@pytest.mark.parametrize("win", [8, 32, 64])
+def test_retry_ladder_parity(rng, win):
+    """Windows too small for the spans route through the 2x retry or the
+    XLA fallback; every rung must stay parity-exact."""
+    grid, _ = _grid(rng, hw=(32, 32), z=11, p_cap=256, density=0.5)
+    z, c = 11, 16
+    p = grid.coords.shape[0]
+    nbr = pu.pillar_neighbor_map(grid)
+    occ = rng.uniform(size=(p, z)) < 0.5
+    occ &= np.asarray(grid.mask)[:, None]
+    feats = (rng.normal(size=(p, z, c)) * occ[..., None]).astype(np.float32)
+    w = rng.normal(size=(27, c, c)).astype(np.float32) * 0.2
+    got = fused_pillar_conv(
+        jnp.asarray(feats), nbr, jnp.asarray(w),
+        occ_out=jnp.asarray(occ), relu=True, subm=True, win=win,
+        interpret=True)
+    ref = _xla_reference(jnp.asarray(feats), nbr, jnp.asarray(w), 3, 1, 1,
+                         None, None, jnp.asarray(occ), None, True)
+    _check(got, ref, tol=2e-4)

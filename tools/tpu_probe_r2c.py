@@ -41,7 +41,10 @@ def loop_time(make_fn, *args, name="", n=N):
     t0 = time.time()
     out2 = float(run(*args))
     second = time.time() - t0
-    per = min(first, second) / n * 1e3
+    # subtract the ~30-40 ms relay fetch that lands on each timed call —
+    # without this every n=5 measurement reads ~7 ms high
+    from tools.tpu_probe_r2 import fetch_overhead
+    per = (min(first, second) - fetch_overhead()) / n * 1e3
     log(f"[C] {name}: {per:.2f} ms/op (n={n}, fetch incl. "
         f"{min(first, second)*1e3:.0f} ms total)")
     return per
