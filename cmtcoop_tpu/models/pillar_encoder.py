@@ -145,11 +145,12 @@ class PillarSparseEncoder(nn.Module):
     # PER-DY-ROW window sizes for the v2 fused kernel (one window per
     # kernel row instead of one union window — ops/pillar_fused.py).
     # Measured per-dy p100 spans on two realistic clouds: subm <=178 at
-    # every level, down (~225, ~400, ~490). Sized to the span; an unusual
-    # cloud pays one 2x-window retry (kernel's runtime ladder), not the
-    # exact fallback.
-    subm_wins: Sequence[int] = (192, 192, 192, 192)
-    down_wins: Sequence[int] = (256, 448, 512)
+    # every level, down (~225, ~400, ~490). Margined; a denser cloud pays
+    # one 2x-window retry (kernel's runtime ladder), not the exact
+    # fallback. 192-wide subm windows measured net-neutral vs 256 (the
+    # gather FLOP saving cancels against retry-plan overhead).
+    subm_wins: Sequence[int] = (256, 256, 256, 256)
+    down_wins: Sequence[int] = (384, 512, 640)
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -532,10 +532,11 @@ def fused_pillar_conv(
 
     # retry ladder: win -> 2x win -> XLA reference. Windows are sized to
     # measured p100 spans with thin margins; an unusual cloud pays one 2x
-    # retry instead of the catastrophic exact path.
-    start2, local2, ovf_wide = window_plan(2 * win)
-
+    # retry instead of the catastrophic exact path. The wide plan lives
+    # INSIDE the cond branch so it costs nothing on the fast path.
     def retry(_):
+        start2, local2, ovf_wide = window_plan(2 * win)
+
         def fast2(_):
             out = make_kernel(2 * win)(start2, local2, *operands)
             return out.reshape(p_out, z_out, cout)
