@@ -36,7 +36,8 @@ class PillarConv(nn.Module):
 
     @nn.compact
     def __call__(self, feats, nbr, scale=None, bias=None, occ_out=None,
-                 residual=None, relu: bool = False, fused: bool = False):
+                 residual=None, relu: bool = False, fused: bool = False,
+                 occ_in=None, fold_occ: bool = False):
         w = self.param(
             "kernel", _conv_init,
             (self.kernel_volume, feats.shape[-1], self.features),
@@ -49,6 +50,8 @@ class PillarConv(nn.Module):
                 args.append(occ_out)
             if has_res:
                 args.append(residual.astype(self.dtype))
+            if fold_occ:
+                args.append(occ_in)
 
             def one(a):
                 kw = {}
@@ -58,6 +61,10 @@ class PillarConv(nn.Module):
                     i += 1
                 if has_res:
                     kw["residual"] = a[i]
+                    i += 1
+                if fold_occ:
+                    kw["occ_in"] = a[i]
+                    kw["fold_occ"] = True
                 return fused_pillar_conv(
                     a[0], a[1], w, kz=self.kz, z_stride=self.z_stride,
                     z_pad=self.z_pad, scale=scale, bias=bias, relu=relu,
@@ -89,13 +96,18 @@ class PillarConvBlock(nn.Module):
     subm: bool = False
 
     @nn.compact
-    def __call__(self, feats, nbr, occ_out, train: bool = False):
+    def __call__(self, feats, nbr, occ_out, train: bool = False,
+                 occ_in=None, fold_occ: bool = False):
         conv = PillarConv(self.features, self.kernel_volume, self.kz,
                           self.z_stride, self.z_pad, self.dtype,
                           win=self.win, subm=self.subm, name="conv")
         bn = MaskedBatchNorm(dtype=self.dtype, name="bn")
         if not train:
             s, b = bn(jnp.zeros((1, self.features)), fold=True)
+            if fold_occ:
+                # (x, occ_out) with occupancy computed in-kernel
+                return conv(feats, nbr, scale=s, bias=b, relu=True,
+                            fused=True, occ_in=occ_in, fold_occ=True)
             return conv(feats, nbr, scale=s, bias=b, occ_out=occ_out,
                         relu=True, fused=True)
         x = conv(feats, nbr)
@@ -212,13 +224,19 @@ class PillarSparseEncoder(nn.Module):
                     return pu.PillarGrid(oc, om, (oh, ow), g.z), nb
                 out_grid, nbr_dn = vdown(grid)
                 zp = down_zpads[i]
-                occ_new = jax.vmap(
-                    lambda o, n, zp=zp: pu.occ_downsample(o, n, 3, 2, zp)
-                )(occ, nbr_dn)
-                x = PillarConvBlock(
+                blk = PillarConvBlock(
                     out_ch, 27, 3, 2, zp, self.dtype,
-                    win=self.down_wins[i],
-                    name=f"stage{i}_down")(x, nbr_dn, occ_new, train)
+                    win=self.down_wins[i], name=f"stage{i}_down")
+                if not train:
+                    # output occupancy computed in-kernel (rides the lane
+                    # padding of the gathered rows — free)
+                    x, occ_new = blk(x, nbr_dn, None, train,
+                                     occ_in=occ, fold_occ=True)
+                else:
+                    occ_new = jax.vmap(
+                        lambda o, n, zp=zp: pu.occ_downsample(
+                            o, n, 3, 2, zp))(occ, nbr_dn)
+                    x = blk(x, nbr_dn, occ_new, train)
                 grid, occ = out_grid, occ_new
                 nbr = vnbr(grid)
 

@@ -205,7 +205,7 @@ PADG = 8  # guard rows prepended so the subm shift slices never underflow
 
 def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
                      zoco, subm, has_bias, has_resid, has_occ, relu,
-                     tiles, cin, cout):
+                     tiles, cin, cout, fold_occ=None):
     """3x3-BEV conv with per-dy-row windows: the 9 taps split into three
     dy groups whose neighbors each span a SHORT contiguous run of the
     sorted pillar order (measured p99 ~160 rows/group vs ~512 combined), so
@@ -218,10 +218,12 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
     occ_ref = next(it) if has_occ else None
     resid_ref = next(it) if has_resid else None
     bias_ref = next(it) if has_bias else None
-    e_ref = next(it) if has_occ else None
+    e_ref = next(it) if (has_occ or fold_occ) else None
+    s_ref = next(it) if fold_occ else None
     rows_hbm = next(it)
     band_ref = next(it)
     o_ref = next(it)
+    occ_o_ref = next(it) if fold_occ else None
     buf_lo = next(it)
     buf_mid = next(it)
     buf_hi = next(it)
@@ -288,8 +290,34 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
             preferred_element_type=jnp.float32).astype(w_hi.dtype))
 
     acc = _band_contract(gs, band_ref, bp, 9, zoco, tiles, cin, cout)
-    _epilogue(acc, bias_ref, resid_ref, occ_ref, e_ref, relu,
-              has_bias, has_resid, has_occ, o_ref)
+    if fold_occ:
+        # occupancy rides as extra row columns [zc : zc+z_in] (free: the
+        # one-hot gathers already span the padded lanes). Output occ =
+        # any input occupied in the receptive field (spconv site rule),
+        # via one (bp, Z_in) @ (Z_in, Z_out) z-stencil matmul (og is
+        # exactly 0/1, so clamp(sum) == any).
+        z_in, z_out, zc = fold_occ
+        og = gs[0][:, zc:zc + z_in]
+        for j in range(1, 9):
+            og = jnp.maximum(og, gs[j][:, zc:zc + z_in])
+        occ_sum = jax.lax.dot_general(
+            og, s_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        occ_new = jnp.minimum(occ_sum, 1.0)
+        occ_o_ref[...] = occ_new.astype(occ_o_ref.dtype)
+        if has_bias:
+            acc = acc + bias_ref[0][None, :].astype(jnp.float32)
+        if has_resid:
+            acc = acc + resid_ref[...].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        occx = jax.lax.dot_general(
+            occ_new.astype(e_ref.dtype), e_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        o_ref[...] = (acc * occx).astype(o_ref.dtype)
+    else:
+        _epilogue(acc, bias_ref, resid_ref, occ_ref, e_ref, relu,
+                  has_bias, has_resid, has_occ, o_ref)
 
 
 def _xla_reference(feats, nbr, weights, kz, z_stride, z_pad,
@@ -327,6 +355,8 @@ def fused_pillar_conv(
     bp: int = 128,
     win: int = 512,
     subm: bool = False,
+    occ_in: Optional[jnp.ndarray] = None,    # (P_in, Z_in) bool
+    fold_occ: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """conv (+BN eval) (+residual) (+ReLU) (+occupancy mask), one kernel.
@@ -337,6 +367,11 @@ def fused_pillar_conv(
     window (kernel v2); `subm=True` additionally replaces the middle row's
     one-hot gathers with sorted-order adjacency shifts (self-verified at
     runtime: a map without subm structure falls back to the XLA path).
+
+    With `fold_occ=True` (+ `occ_in`, down convs only): the output-site
+    occupancy is computed IN kernel — occupancy rides as extra row columns
+    inside the lane padding, so the gather is free — and returned as a
+    second output: `(out, occ_out_bool)`. `occ_out` must be None.
     """
     p_in, z_in, cin = feats.shape
     p_out, kb = nbr.shape
@@ -345,22 +380,37 @@ def fused_pillar_conv(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    unsupported = (p_out % bp != 0 or kb * kz != weights.shape[0]
-                   or p_in < 8 or win % 8 != 0
-                   or (subm and p_out != p_in))
-    if unsupported:
-        return _xla_reference(feats, nbr, weights, kz, z_stride, z_pad,
-                              scale, bias, occ_out, residual, relu)
-
     zc = z_in * cin
     zoco = z_out * cout
     zcp = _round_up(zc, 128)
     nb = p_out // bp
     use_v2 = kb == 9
 
+    if fold_occ:
+        assert occ_in is not None and occ_out is None and not subm
+
+    def xla_fold(_=None):
+        occ_x = pu.occ_downsample(occ_in, nbr, kz, z_stride, z_pad)
+        out = _xla_reference(feats, nbr, weights, kz, z_stride, z_pad,
+                             scale, bias, occ_x, residual, relu)
+        return out, occ_x
+
+    unsupported = (p_out % bp != 0 or kb * kz != weights.shape[0]
+                   or p_in < 8 or win % 8 != 0
+                   or (subm and p_out != p_in)
+                   or (fold_occ and (not use_v2 or zc + z_in > zcp)))
+    if unsupported:
+        if fold_occ:
+            return xla_fold()
+        return _xla_reference(feats, nbr, weights, kz, z_stride, z_pad,
+                              scale, bias, occ_out, residual, relu)
+
     rows = feats.reshape(p_in, zc)
-    if zcp != zc:
-        rows = jnp.pad(rows, ((0, 0), (0, zcp - zc)))
+    if fold_occ:
+        rows = jnp.concatenate(
+            [rows, occ_in.astype(rows.dtype)], axis=1)
+    if zcp != rows.shape[1]:
+        rows = jnp.pad(rows, ((0, 0), (0, zcp - rows.shape[1])))
 
     nblk = nbr.reshape(nb, bp, kb)
     if use_v2:
@@ -473,15 +523,27 @@ def fused_pillar_conv(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         bias_row = jnp.tile(bias.astype(jnp.float32), z_out)[None, :]
         operands.append(bias_row)
-    if has_occ:
+    if has_occ or fold_occ:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         e = jnp.repeat(jnp.eye(z_out, dtype=feats.dtype), cout, axis=1)
         operands.append(e)  # (Z_out, Z_out*Cout) occupancy expander
+    if fold_occ:
+        # z-stencil: S[zi, zo] = 1 iff input z feeds output z at some tap
+        zi = jnp.arange(z_in)
+        zo = jnp.arange(z_out)
+        s_mat = jnp.any(
+            zi[None, :, None] + z_pad ==
+            zo[None, None, :] * z_stride + jnp.arange(kz)[:, None, None],
+            axis=0).astype(feats.dtype)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(s_mat)
     in_specs += [
         pl.BlockSpec(memory_space=pl.ANY),                        # rows
         pl.BlockSpec(memory_space=pltpu.VMEM),                    # band
     ]
     operands += [rows, band]
+
+    fold = (z_in, z_out, zc) if fold_occ else None
 
     def make_kernel(wind):
         if use_v2:
@@ -490,7 +552,7 @@ def fused_pillar_conv(
                 _fused_kernel_v2, win_d=wind, win_mid=wmid, bp=bp,
                 zoco=zoco, subm=subm, has_bias=has_bias,
                 has_resid=has_resid, has_occ=has_occ, relu=relu,
-                tiles=tiles, cin=cin, cout=cout)
+                tiles=tiles, cin=cin, cout=cout, fold_occ=fold)
             scratch = [
                 pltpu.VMEM((2, wind, zcp), feats.dtype),
                 pltpu.VMEM((2, wmid, zcp), feats.dtype),
@@ -506,26 +568,44 @@ def fused_pillar_conv(
                 pltpu.VMEM((2, wind, zcp), feats.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
+        out_specs = pl.BlockSpec((bp, zoco), lambda b: (b, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((p_out, zoco), feats.dtype)
+        if fold_occ:
+            out_specs = [out_specs,
+                         pl.BlockSpec((bp, z_out), lambda b: (b, 0),
+                                      memory_space=pltpu.VMEM)]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((p_out, z_out),
+                                              feats.dtype)]
         return pl.pallas_call(
             body,
             grid=(nb,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((bp, zoco), lambda b: (b, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((p_out, zoco), feats.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )
 
-    def slow(_):
-        return _xla_reference(feats, nbr, weights, kz, z_stride, z_pad,
-                              scale, bias, occ_out, residual, relu)
+    def shape_out(res):
+        if fold_occ:
+            out, occ_f = res
+            return out.reshape(p_out, z_out, cout), occ_f > 0.5
+        return res.reshape(p_out, z_out, cout)
+
+    if fold_occ:
+        slow = xla_fold
+    else:
+        def slow(_):
+            return _xla_reference(feats, nbr, weights, kz, z_stride,
+                                  z_pad, scale, bias, occ_out, residual,
+                                  relu)
 
     def fast(_):
-        out = make_kernel(win)(start, local, *operands)
-        return out.reshape(p_out, z_out, cout)
+        return shape_out(make_kernel(win)(start, local, *operands))
 
     if not use_v2:
         return jax.lax.cond(overflow, slow, fast, None)
@@ -538,8 +618,8 @@ def fused_pillar_conv(
         start2, local2, ovf_wide = window_plan(2 * win)
 
         def fast2(_):
-            out = make_kernel(2 * win)(start2, local2, *operands)
-            return out.reshape(p_out, z_out, cout)
+            return shape_out(
+                make_kernel(2 * win)(start2, local2, *operands))
         return jax.lax.cond(ovf_wide, slow, fast2, None)
 
     return jax.lax.cond(overflow, retry, fast, None)

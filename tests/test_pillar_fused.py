@@ -200,3 +200,32 @@ def test_retry_ladder_parity(rng, win):
     ref = _xla_reference(jnp.asarray(feats), nbr, jnp.asarray(w), 3, 1, 1,
                          None, None, jnp.asarray(occ), None, True)
     _check(got, ref, tol=2e-4)
+
+
+def test_fold_occ_matches_separate(rng):
+    """fold_occ computes the down conv's output occupancy in-kernel; both
+    the conv output and the occupancy must match the two-step reference
+    (occ_downsample + occ-masked conv)."""
+    grid, _ = _grid(rng, hw=(32, 32), z=21, p_cap=256, density=0.45)
+    z, c, co = 21, 32, 64
+    p = grid.coords.shape[0]
+    out_grid = pu.pillar_downsample_grid(grid, 256)
+    nbr_dn = pu.pillar_conv_neighbor_map(grid, out_grid)
+    occ = rng.uniform(size=(p, z)) < 0.4
+    occ &= np.asarray(grid.mask)[:, None]
+    occ = jnp.asarray(occ)
+    feats = jnp.asarray(
+        (rng.normal(size=(p, z, c)) * np.asarray(occ)[..., None])
+        .astype(np.float32))
+    w = rng.normal(size=(27, c, co)).astype(np.float32) * 0.1
+    scale = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+
+    got, occ_got = fused_pillar_conv(
+        feats, nbr_dn, jnp.asarray(w), z_stride=2, z_pad=1, scale=scale,
+        bias=bias, relu=True, occ_in=occ, fold_occ=True, interpret=True)
+    occ_ref = pu.occ_downsample(occ, nbr_dn, 3, 2, 1)
+    ref = _xla_reference(feats, nbr_dn, jnp.asarray(w), 3, 2, 1,
+                         scale, bias, occ_ref, None, True)
+    np.testing.assert_array_equal(np.asarray(occ_got), np.asarray(occ_ref))
+    _check(got, ref, tol=2e-4)
