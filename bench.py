@@ -14,15 +14,17 @@ import os
 import sys
 import time
 
-# persistent XLA compile cache: the driver runs bench.py in a fresh process
-# every round; an unchanged model then skips the multi-minute first compile
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
-
 import numpy as np
 
 import jax
+
+# persistent XLA compile cache: the driver runs bench.py in a fresh process
+# every round; an unchanged model then skips the multi-minute first compile.
+# NOTE: this jax build ignores the JAX_COMPILATION_CACHE_DIR env var — the
+# explicit config.update is required (verified empirically).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
 def main():
