@@ -166,8 +166,13 @@ class CmtHead(nn.Module):
     num_heads: int = 8
     feedforward_channels: int = 1024
     dropout: float = 0.1
+    remat: bool = True
     train_mode: bool = False
     cross_impl: str = "auto"
+    # cross_impl="kv_shard": shard the token memory over this mesh axis
+    # (parallel/kv_shard.py), the multi-chip serving path
+    kv_shard_mesh: Any = None
+    kv_shard_axis: str = "mp"
     dtype: Any = jnp.float32
 
     @property
@@ -194,9 +199,10 @@ class CmtHead(nn.Module):
             (self.num_query, 3), jnp.float32)
         self.decoder = PETRTransformerDecoder(
             self.num_decoder_layers, self.hidden_dim, self.num_heads,
-            self.feedforward_channels, self.dropout,
+            self.feedforward_channels, self.dropout, remat=self.remat,
             train_mode=self.train_mode, cross_impl=self.cross_impl,
-            dtype=self.dtype)
+            kv_shard_mesh=self.kv_shard_mesh,
+            kv_shard_axis=self.kv_shard_axis, dtype=self.dtype)
         self.task_heads = [
             SeparateTaskHead(num_cls=len(names), dtype=self.dtype)
             for names in self.tasks

@@ -23,10 +23,28 @@ from cmtcoop_tpu.ops.attention import attend
 
 
 class MultiheadAttention(nn.Module):
-    """torch.nn.MultiheadAttention-equivalent projections around `attend`."""
+    """torch.nn.MultiheadAttention-equivalent projections around `attend`.
+
+    `attn_dropout` reproduces torch's attn_drop (dropout on the softmax
+    weights) which the reference enables at 0.1 in both decoder attentions
+    (petr_transformer.py:68-82, config attn_cfgs dropout=0.1); it forces
+    the XLA attention path in train mode (the flash kernel is
+    dropout-free, eval-only).
+
+    `impl="kv_shard"` runs the cross-attention with the KV token memory
+    sharded over `kv_shard_mesh`'s `kv_shard_axis` (parallel/kv_shard.py
+    log-sum-exp merge) — the multi-chip serving path for the ~50k-token
+    memory (SURVEY §2.3 rebuild note b).
+    """
     embed_dims: int
     num_heads: int
     impl: str = "auto"
+    attn_dropout: float = 0.0
+    train_mode: bool = False
+    kv_shard_mesh: Any = None
+    kv_shard_axis: str = "mp"
+    kv_block_q: int = 128
+    kv_block_k: int = 512
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -41,7 +59,29 @@ class MultiheadAttention(nn.Module):
         qh = split(nn.Dense(c, dtype=self.dtype, name="q_proj")(q))
         kh = split(nn.Dense(c, dtype=self.dtype, name="k_proj")(k))
         vh = split(nn.Dense(c, dtype=self.dtype, name="v_proj")(v))
-        out = attend(qh, kh, vh, bias=bias, k_bias=k_bias, impl=self.impl)
+        drop = self.attn_dropout if self.train_mode else 0.0
+        if self.impl == "kv_shard":
+            from cmtcoop_tpu.parallel.kv_shard import (
+                kv_sharded_attention, pad_kv_for_shards)
+            assert bias is None, "kv_shard path is padding-mask only"
+            assert drop == 0.0, "kv_shard path is eval-only (no dropout)"
+            mesh = self.kv_shard_mesh
+            n_shards = mesh.shape[self.kv_shard_axis]
+            kb = (k_bias if k_bias is not None
+                  else jnp.zeros((b, kh.shape[2]), jnp.float32))
+            kp, vp, kbp = pad_kv_for_shards(
+                kh, vh, kb, n_shards, self.kv_block_k)
+            pad_q = (-nq) % self.kv_block_q
+            qp = jnp.pad(qh, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+            out = kv_sharded_attention(
+                mesh, qp, kp, vp, kbp, axis=self.kv_shard_axis,
+                block_q=self.kv_block_q, block_k=self.kv_block_k)
+            out = out[:, :, :nq]
+        else:
+            impl = "xla" if drop > 0.0 else self.impl
+            rng = self.make_rng("dropout") if drop > 0.0 else None
+            out = attend(qh, kh, vh, bias=bias, k_bias=k_bias, impl=impl,
+                         dropout_rate=drop, dropout_rng=rng)
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, c)
         return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
 
@@ -53,6 +93,8 @@ class PETRDecoderLayer(nn.Module):
     dropout: float = 0.1
     train_mode: bool = False
     cross_impl: str = "auto"
+    kv_shard_mesh: Any = None
+    kv_shard_axis: str = "mp"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -63,7 +105,8 @@ class PETRDecoderLayer(nn.Module):
         identity = query
         q = query + query_pos
         out = MultiheadAttention(
-            self.embed_dims, self.num_heads, "xla", self.dtype,
+            self.embed_dims, self.num_heads, "xla",
+            attn_dropout=self.dropout, train_mode=train, dtype=self.dtype,
             name="self_attn")(q, q, query, bias=self_attn_bias)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         query = nn.LayerNorm(dtype=self.dtype, name="norm1")(identity + out)
@@ -73,7 +116,10 @@ class PETRDecoderLayer(nn.Module):
         q = query + query_pos
         k = memory + memory_pos
         out = MultiheadAttention(
-            self.embed_dims, self.num_heads, self.cross_impl, self.dtype,
+            self.embed_dims, self.num_heads, self.cross_impl,
+            attn_dropout=self.dropout, train_mode=train,
+            kv_shard_mesh=self.kv_shard_mesh,
+            kv_shard_axis=self.kv_shard_axis, dtype=self.dtype,
             name="cross_attn")(q, k, memory, k_bias=memory_k_bias)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         query = nn.LayerNorm(dtype=self.dtype, name="norm2")(identity + out)
@@ -95,6 +141,8 @@ class PETRTransformerDecoder(nn.Module):
     remat: bool = True
     train_mode: bool = False
     cross_impl: str = "auto"
+    kv_shard_mesh: Any = None
+    kv_shard_axis: str = "mp"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -110,7 +158,8 @@ class PETRTransformerDecoder(nn.Module):
         for i in range(self.num_layers):
             query = layer_cls(
                 self.embed_dims, self.num_heads, self.feedforward_channels,
-                self.dropout, self.train_mode, self.cross_impl, self.dtype,
+                self.dropout, self.train_mode, self.cross_impl,
+                self.kv_shard_mesh, self.kv_shard_axis, self.dtype,
                 name=f"layer{i}")(
                     query, memory, query_pos, memory_pos, self_attn_bias,
                     memory_k_bias)

@@ -24,8 +24,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def mha_reference(q, k, v, bias: Optional[jnp.ndarray] = None):
-    """Plain XLA softmax attention (numerics oracle + small-N path)."""
+def mha_reference(q, k, v, bias: Optional[jnp.ndarray] = None,
+                  dropout_rate: float = 0.0, dropout_rng=None):
+    """Plain XLA softmax attention (numerics oracle + small-N path).
+
+    `dropout_rate` > 0 applies inverted dropout to the softmax weights —
+    torch nn.MultiheadAttention's attn_drop semantics (dropout AFTER
+    softmax, no renormalization), which the reference enables at 0.1 via
+    the deprecated `dropout` kwarg (petr_transformer.py:68-82)."""
     dh = q.shape[-1]
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -33,6 +39,11 @@ def mha_reference(q, k, v, bias: Optional[jnp.ndarray] = None):
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
     probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0:
+        assert dropout_rng is not None
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     return jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32).astype(v.dtype)
@@ -163,7 +174,8 @@ def _pad_to(x, axis, multiple):
 
 
 def attend(q, k, v, bias=None, k_bias=None, impl: str = "auto",
-           block_q: int = 256, block_k: int = 2048):
+           block_q: int = 256, block_k: int = 2048,
+           dropout_rate: float = 0.0, dropout_rng=None):
     # block defaults measured on v5e at the bench shape (8h x 1024q x 49k
     # kv): (256, 2048) = 1.9 ms vs (128, 1024) = 3.4 ms — fewer KV
     # re-streams per q-block; (1024, 4096) exceeds the 16M scoped VMEM.
@@ -180,10 +192,14 @@ def attend(q, k, v, bias=None, k_bias=None, impl: str = "auto",
         raise ValueError(
             "attend(impl='flash') cannot apply a 2D attention bias; use "
             "k_bias for KV padding or impl='auto'/'reference' for DN masks")
+    if dropout_rate > 0.0 and impl == "flash":
+        raise ValueError(
+            "attend(impl='flash') does not implement attention-weight "
+            "dropout; training with attn dropout must use the XLA path")
     use_flash = (
         impl == "flash"
-        or (impl == "auto" and bias is None and nk >= 4096
-            and jax.default_backend() == "tpu")
+        or (impl == "auto" and bias is None and dropout_rate == 0.0
+            and nk >= 4096 and jax.default_backend() == "tpu")
     )
     if use_flash:
         if k_bias is None:
@@ -199,4 +215,5 @@ def attend(q, k, v, bias=None, k_bias=None, impl: str = "auto",
     if k_bias is not None:
         kb = k_bias[:, None, None, :]
         bias = kb if bias is None else bias + kb
-    return mha_reference(q, k, v, bias)
+    return mha_reference(q, k, v, bias, dropout_rate=dropout_rate,
+                         dropout_rng=dropout_rng)

@@ -66,3 +66,83 @@ def test_mha_additive_mask(rng):
     out = mha.apply(params, jnp.asarray(q), jnp.asarray(q), jnp.asarray(q),
                     bias=bias)
     np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_mha_attn_dropout_semantics(rng):
+    """attn_dropout reproduces torch nn.MultiheadAttention(dropout=p) train
+    semantics: inverted dropout on the softmax weights, no renormalization.
+
+    With a single key the softmax weight is exactly 1.0, so per (query,
+    head) the post-dropout weight is either 1/(1-p) or 0 — the pre-out_proj
+    value is v/(1-p) or 0. We check the drop rate and the kept-scale
+    against the same statistics measured from torch in train mode.
+    """
+    torch = pytest.importorskip("torch")
+    C, H, B, Nq, Nk, P = 8, 1, 1, 256, 1, 0.1
+    q = rng.normal(size=(B, Nq, C)).astype(np.float32)
+    k = rng.normal(size=(B, Nk, C)).astype(np.float32)
+
+    tmha = torch.nn.MultiheadAttention(C, H, dropout=P, batch_first=True)
+    tmha.train()
+    with torch.no_grad():
+        eval_out = None
+        tmha.eval()
+        eval_out = tmha(torch.from_numpy(q), torch.from_numpy(k),
+                        torch.from_numpy(k))[0].numpy()
+        tmha.train()
+        drops = []
+        for _ in range(20):
+            o = tmha(torch.from_numpy(q), torch.from_numpy(k),
+                     torch.from_numpy(k))[0].numpy()
+            # dropped rows equal the out_proj bias exactly
+            bias_row = tmha.out_proj.bias.detach().numpy()
+            drops.append(
+                np.isclose(o, bias_row, atol=1e-6).all(-1).mean())
+        torch_drop_rate = float(np.mean(drops))
+
+    from cmtcoop_tpu.models.petr_decoder import MultiheadAttention
+    mha = MultiheadAttention(C, H, impl="xla", attn_dropout=P,
+                             train_mode=True)
+    w_in = tmha.in_proj_weight.detach().numpy()
+    b_in = tmha.in_proj_bias.detach().numpy()
+    params = {"params": jax.tree.map(jnp.asarray, {
+        "q_proj": {"kernel": w_in[:C].T, "bias": b_in[:C]},
+        "k_proj": {"kernel": w_in[C:2 * C].T, "bias": b_in[C:2 * C]},
+        "v_proj": {"kernel": w_in[2 * C:].T, "bias": b_in[2 * C:]},
+        "out_proj": {
+            "kernel": tmha.out_proj.weight.detach().numpy().T,
+            "bias": tmha.out_proj.bias.detach().numpy()},
+    })}
+    bias_row = tmha.out_proj.bias.detach().numpy()
+    drops, kept_vals = [], []
+    for i in range(20):
+        out = np.asarray(mha.apply(
+            params, jnp.asarray(q), jnp.asarray(k), jnp.asarray(k),
+            rngs={"dropout": jax.random.PRNGKey(i)}))
+        dropped = np.isclose(out, bias_row, atol=1e-6).all(-1)
+        drops.append(dropped.mean())
+        kept_vals.append(out[~dropped])
+    ours_drop_rate = float(np.mean(drops))
+    # both are Binomial(256*20, 0.1) means: 3 sigma ~ 0.0125
+    assert abs(ours_drop_rate - P) < 0.02, ours_drop_rate
+    assert abs(ours_drop_rate - torch_drop_rate) < 0.03
+    # kept rows carry the 1/(1-p) inverted-dropout scale (no renorm):
+    # compare against the eval output scaled by 1/(1-p) minus bias offset
+    expect = (eval_out[0] - bias_row) / (1 - P) + bias_row
+    got = np.concatenate(kept_vals)
+    np.testing.assert_allclose(
+        got, np.broadcast_to(expect[:1], got.shape), rtol=1e-4, atol=1e-5)
+
+
+def test_mha_attn_dropout_off_at_eval(rng):
+    """Eval mode ignores attn_dropout (deterministic, no rng needed)."""
+    from cmtcoop_tpu.models.petr_decoder import MultiheadAttention
+    C, H = 8, 2
+    q = jnp.asarray(rng.normal(size=(1, 4, C)).astype(np.float32))
+    mha_d = MultiheadAttention(C, H, impl="xla", attn_dropout=0.5,
+                               train_mode=False)
+    mha_0 = MultiheadAttention(C, H, impl="xla")
+    params = mha_0.init(jax.random.PRNGKey(0), q, q, q)
+    np.testing.assert_array_equal(
+        np.asarray(mha_d.apply(params, q, q, q)),
+        np.asarray(mha_0.apply(params, q, q, q)))
