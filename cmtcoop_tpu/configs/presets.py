@@ -153,11 +153,14 @@ for _mod in ("camera", "lidar", "fusion"):
 
 # the reference's 4th nuScenes config: voxel0100_r50_800x320 (CMT_Nuscenes/
 # fusion/cmt_voxel0100_r50_800x320_cbgs.py — 67.9 mAP / 70.8 NDS @14.2 FPS):
-# voxel 0.1 on [-54, 54] -> grid 1080, ResNet-50 images at 320x800
+# voxel 0.1, sparse_shape [41, 1024, 1024] (config:218, grid_size
+# config:316) — NOT ceil(108/0.1)=1080: the reference rounds to 1024 so
+# the BEV map stays even through every stride (128 after the 8x encoder;
+# 1080 would give 135 -> SECOND stride-2 65 vs FPN deconv 136 mismatch)
 _p = nuscenes_preset(
     "fusion",
     name="cmt_fusion_r50_nuscenes",
-    voxel_size=(0.1, 0.1, 0.2), grid_size=(1080, 1080, 40),
+    voxel_size=(0.1, 0.1, 0.2), grid_size=(1024, 1024, 40),
     img_size=(320, 800),
     ida_resize_lim=(0.47, 0.625), ida_final_dim=(320, 800),
     img_spec="r50", img_out_features=("layer3", "layer4"),
