@@ -73,18 +73,27 @@ def convert_split(load_dir: str, save_dir: str, split: str,
 
     pcds = sorted(glob(os.path.join(
         load_dir, sdir, "point_clouds", lidar_dir, "*")))
-    labels = sorted(glob(os.path.join(
-        load_dir, sdir, "labels_point_clouds", lidar_dir, "*")))
+    # pair labels to clouds by filename stem, not sorted index — one
+    # missing/extra label file must not shift every later label onto the
+    # wrong frame
+    labels_by_stem = {
+        os.path.splitext(os.path.basename(p))[0]: p
+        for p in glob(os.path.join(
+            load_dir, sdir, "labels_point_clouds", lidar_dir, "*"))}
     ids = []
-    for i, pcd in enumerate(pcds):
+    for pcd in pcds:
         stem = os.path.splitext(os.path.basename(pcd))[0]
         ids.append(stem)
         out_bin = os.path.join(vel_dir, stem + ".bin")
         if not os.path.exists(out_bin):
             pcd_to_bin(pcd, out_bin)
-        if split != "testing" and i < len(labels):
+        if split != "testing":
+            label = labels_by_stem.get(stem)
+            if label is None:
+                print(f"warning: no label for {sdir}/{stem}, skipping")
+                continue
             with open(os.path.join(lab_dir, stem + ".txt"), "w") as f:
-                f.writelines(_openlabel_to_kitti_lines(labels[i]))
+                f.writelines(_openlabel_to_kitti_lines(label))
 
     os.makedirs(os.path.join(save_dir, "ImageSets"), exist_ok=True)
     with open(os.path.join(save_dir, "ImageSets", f"{sdir}.txt"),

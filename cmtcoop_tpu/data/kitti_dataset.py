@@ -47,10 +47,17 @@ def parse_kitti_label(path: str, class_names: Sequence[str]):
 
 class A9KittiDataset:
     def __init__(self, root: str, split: str, class_names: Sequence[str],
-                 pipeline=None):
+                 pipeline=None, point_dims: Optional[int] = 5):
+        """point_dims: floats per point in the velodyne .bin files.
+        Defaults to 5, the layout our converter writes
+        (converters/pcd.py::pcd_to_bin: x, y, z, i/256, 0). Pass 4 for
+        legacy KITTI bins, or None to infer from file size — inference
+        raises on ambiguous sizes (divisible by both 4 and 5) rather
+        than silently corrupting every point."""
         self.root = root
         self.class_names = list(class_names)
         self.pipeline = pipeline
+        self.point_dims = point_dims
         split_file = os.path.join(root, "ImageSets", f"{split}.txt")
         if os.path.exists(split_file):
             with open(split_file) as f:
@@ -69,10 +76,17 @@ class A9KittiDataset:
         # bins written by converters.pcd.pcd_to_bin are (x, y, z, i/256, 0)
         path = os.path.join(self.root, self.split, "velodyne", fid + ".bin")
         raw = np.fromfile(path, np.float32)
-        if raw.size % 5 == 0:
-            pts = raw.reshape(-1, 5)
-        else:  # legacy 4-dim KITTI bins
-            pts = np.pad(raw.reshape(-1, 4), ((0, 0), (0, 1)))
+        dims = self.point_dims
+        if dims is None:  # infer, but only when unambiguous
+            by5, by4 = raw.size % 5 == 0, raw.size % 4 == 0
+            if by5 and by4:
+                raise ValueError(
+                    f"{path}: size {raw.size} divisible by both 4 and 5; "
+                    "pass point_dims explicitly")
+            dims = 5 if by5 else 4
+        pts = raw.reshape(-1, dims)
+        if dims == 4:  # pad legacy bins to the 5-dim layout
+            pts = np.pad(pts, ((0, 0), (0, 1)))
         sample: Dict = dict(points=pts, frame_id=fid)
         label_path = os.path.join(
             self.root, self.split, "label_2", fid + ".txt")
@@ -93,8 +107,19 @@ class A9KittiDataset:
         gt = {}
         for i, fid in enumerate(self.ids):
             s = self.get_raw_sample(i, np.random.default_rng(0))
+            boxes = s.get("gt_boxes_3d", np.zeros((0, 9), np.float32))
+            # axis-aligned BEV footprint, the same 2D-bbox convention the
+            # A92KITTI writer uses (converters/a9_kitti.py bbox columns) —
+            # makes metric="bbox" reachable through the dataset
+            boxes2d = np.stack([
+                boxes[:, 0] - boxes[:, 3] / 2,
+                boxes[:, 1] - boxes[:, 4] / 2,
+                boxes[:, 0] + boxes[:, 3] / 2,
+                boxes[:, 1] + boxes[:, 4] / 2,
+            ], axis=-1) if len(boxes) else np.zeros((0, 4), np.float32)
             gt[fid] = dict(
-                boxes=s.get("gt_boxes_3d", np.zeros((0, 9), np.float32)),
+                boxes=boxes,
+                boxes2d=boxes2d,
                 labels=s.get("gt_labels_3d", np.zeros(0, np.int64)),
                 difficulty=s.get("gt_difficulty",
                                  np.zeros(0, np.int64)))
