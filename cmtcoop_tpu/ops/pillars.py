@@ -388,6 +388,7 @@ def pillarize(
     max_voxels: int = 120000,
     max_pillars: int = 40000,
     win: int = 128,
+    return_stats: bool = False,
 ):
     """points -> pillar-dense tensors in ONE sort (replaces
     voxelize + HardSimpleVFE + build_pillars for the pillar encoder path).
@@ -403,6 +404,13 @@ def pillarize(
 
     Returns (pcoords (P,2) int32 (y,x), pmask (P,), occ (P, Z) bool,
     feats (P, Z, F) float32). Z = grid_z + 1 (spconv sparse_shape).
+
+    With `return_stats=True` a fifth element is returned: a dict of
+    scalar int32 drop telemetry — `n_voxels_raw` / `n_pillars_raw`
+    (occupancy BEFORE the caps), `n_voxels_dropped` / `n_pillars_dropped`
+    (how many the caps cut; nonzero means the caps truncate this cloud
+    and downstream outputs are not exact), and `n_points_in_range` /
+    `n_points_dropped` (points lost to any cap, incl. max_points).
     """
     from cmtcoop_tpu.ops.voxelize import compute_voxel_coords
 
@@ -573,4 +581,25 @@ def pillarize(
     occ = (counts > 0) & pmask[:, None]
     feats = jnp.where(
         occ[..., None], sums / jnp.maximum(counts, 1.0)[..., None], 0.0)
-    return pcoords, pmask, occ, feats
+    if not return_stats:
+        return pcoords, pmask, occ, feats
+    # drop telemetry (all pre-cap quantities are already available in
+    # sorted order: `head` marks every in-range voxel head, raw pillar
+    # heads are boundaries of skey//z_extent)
+    in_range = skey != INT32_MAX
+    n_voxels_raw = jnp.sum(head.astype(jnp.int32))
+    pil_raw = jnp.where(in_range, skey // z_extent, INT32_MAX)
+    praw_head = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         pil_raw[1:] != pil_raw[:-1]]) & (pil_raw != INT32_MAX)
+    n_pillars_raw = jnp.sum(praw_head.astype(jnp.int32))
+    n_in = jnp.sum(in_range.astype(jnp.int32))
+    stats = dict(
+        n_voxels_raw=n_voxels_raw,
+        n_voxels_dropped=jnp.maximum(n_voxels_raw - max_voxels, 0),
+        n_pillars_raw=n_pillars_raw,
+        n_pillars_dropped=jnp.maximum(n_pillars_raw - max_pillars, 0),
+        n_points_in_range=n_in,
+        n_points_dropped=n_in - jnp.sum(ok.astype(jnp.int32)),
+    )
+    return pcoords, pmask, occ, feats, stats

@@ -148,3 +148,39 @@ def test_pillarize_overflow_fallback():
     np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
     np.testing.assert_allclose(
         np.asarray(f0), np.asarray(f1), atol=1e-4, rtol=1e-4)
+
+
+def test_pillarize_drop_telemetry():
+    """return_stats counts raw occupancy and cap-dropped pillars/voxels."""
+    import jax.numpy as jnp
+    from cmtcoop_tpu.ops.pillars import pillarize
+
+    # 200 distinct pillars on a 20x10 grid patch, one point each, plus a
+    # second z-cell in pillar 0 (so voxels = 201) and a duplicate point
+    # in pillar 0 (in-range points = 202)
+    ys, xs = np.meshgrid(np.arange(10), np.arange(20), indexing="ij")
+    pts = np.zeros((202, 5), np.float32)
+    pts[:200, 0] = xs.ravel() + 0.5
+    pts[:200, 1] = ys.ravel() + 0.5
+    pts[:200, 2] = 0.1
+    pts[200] = (0.5, 0.5, 1.1, 0, 0)   # pillar 0, second z cell
+    pts[201] = (0.5, 0.5, 0.2, 0, 0)   # pillar 0, same voxel as pt 0
+    kw = dict(voxel_size=(1.0, 1.0, 1.0), pc_range=(0, 0, 0, 32, 32, 4),
+              grid_size=(32, 32, 4), max_points=5)
+    *_, stats = pillarize(
+        jnp.asarray(pts), jnp.ones(202, bool), max_voxels=512,
+        max_pillars=128, return_stats=True, **kw)
+    assert int(stats["n_pillars_raw"]) == 200
+    assert int(stats["n_pillars_dropped"]) == 72
+    assert int(stats["n_voxels_raw"]) == 201
+    assert int(stats["n_voxels_dropped"]) == 0
+    assert int(stats["n_points_in_range"]) == 202
+    # 72 dropped pillars carry one point each (pillar 0, with the extra
+    # points, sorts first and is always kept)
+    assert int(stats["n_points_dropped"]) == 72
+    # uncapped: nothing dropped
+    *_, s2 = pillarize(
+        jnp.asarray(pts), jnp.ones(202, bool), max_voxels=512,
+        max_pillars=256, return_stats=True, **kw)
+    assert int(s2["n_pillars_dropped"]) == 0
+    assert int(s2["n_points_dropped"]) == 0
