@@ -34,13 +34,21 @@ class PrefetchLoader:
 
     def __init__(self, dataset, indices: np.ndarray, batch_size: int,
                  num_workers: int = 6, prefetch: int = 4,
-                 shuffle_seed: Optional[int] = None):
+                 shuffle_seed: Optional[int] = None,
+                 process_id: int = 0, num_processes: int = 1):
+        """`batch_size` is GLOBAL. With num_processes > 1 (multi-host,
+        DistributedSampler equivalent) each process yields its own
+        batch_size/num_processes slice of every global batch, so the
+        global data stream is identical for any process count."""
+        assert batch_size % num_processes == 0, (batch_size, num_processes)
         self.dataset = dataset
         self.indices = np.asarray(indices)
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.shuffle_seed = shuffle_seed
+        self.process_id = process_id
+        self.num_processes = num_processes
 
     def __len__(self):
         return len(self.indices) // self.batch_size
@@ -53,7 +61,9 @@ class PrefetchLoader:
         return idx
 
     def _make_batch(self, indices, b: int) -> Dict[str, np.ndarray]:
-        idxs = indices[b * self.batch_size:(b + 1) * self.batch_size]
+        local = self.batch_size // self.num_processes
+        start = b * self.batch_size + self.process_id * local
+        idxs = indices[start:start + local]
         return formats.collate([self.dataset[int(i)] for i in idxs])
 
     def iter_epoch(self, epoch: int = 0,
@@ -100,7 +110,8 @@ def build_train_loader(preset: Preset, data_root: str, batch_size: int,
                        num_workers: int = 6, seed: int = 0,
                        use_cbgs: bool = True,
                        db_sampler_cfg: Optional[dict] = None,
-                       modal_mask: bool = False):
+                       modal_mask: bool = False,
+                       process_id: int = 0, num_processes: int = 1):
     import os
     prefixes = (("vehicle_", "infrastructure_")
                 if preset.domain == "coop" else ("",))
@@ -134,7 +145,8 @@ def build_train_loader(preset: Preset, data_root: str, batch_size: int,
     # per-epoch ORDER comes from PrefetchLoader.epoch_indices
     indices = cbgs_indices(ds, rng) if use_cbgs else np.arange(len(ds))
     loader = PrefetchLoader(ds, indices, batch_size, num_workers,
-                            shuffle_seed=seed)
+                            shuffle_seed=seed, process_id=process_id,
+                            num_processes=num_processes)
     return loader, len(loader)
 
 

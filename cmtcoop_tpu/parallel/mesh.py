@@ -13,12 +13,46 @@ cross-attention KV over "mp" (ring attention) without re-plumbing callers.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Multi-host bootstrap (the reference's `--nnodes` path,
+    tools/dist_train.sh:10-20): `jax.distributed.initialize` connects this
+    process to the coordinator so `jax.devices()` becomes the GLOBAL
+    device list (all hosts of the slice; collectives ride ICI within a
+    slice and DCN across slices, handled by the runtime). Must run before
+    the backend initializes. Arguments fall back to the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID; on TPU
+    pods all three are auto-detected from the metadata server and may be
+    omitted entirely). Returns this process's index.
+
+    Verified on the CPU backend (gloo collectives) by
+    tests/test_multihost.py — two processes x 4 virtual devices forming
+    one 8-device dp mesh with a global-batch gradient step.
+    """
+    kwargs = {}
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kwargs["coordinator_address"] = (
+            coordinator_address or os.environ["JAX_COORDINATOR_ADDRESS"])
+    if num_processes is not None or os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = (
+            num_processes if num_processes is not None
+            else int(os.environ["JAX_NUM_PROCESSES"]))
+    if process_id is not None or os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = (
+            process_id if process_id is not None
+            else int(os.environ["JAX_PROCESS_ID"]))
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index()
 
 
 def make_mesh(num_dp: Optional[int] = None, num_mp: int = 1,
@@ -48,6 +82,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Device-put every leaf with its batch dimension sharded over dp."""
+    """Device-put every leaf with its batch dimension sharded over dp.
+
+    Single-process: `batch` is the global batch. Multi-process (after
+    `initialize_multihost`): `batch` is this process's LOCAL slice — the
+    global batch is assembled from each process's data (DDP loader
+    semantics: every host feeds its own shard), so the global batch dim
+    is local_batch * num_processes.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sh), batch)

@@ -41,6 +41,18 @@ def parse_args():
     ap.add_argument("--num-workers", type=int, default=6)
     ap.add_argument("--cfg-options", nargs="*", default=None,
                     help="preset field overrides, key=value")
+    ap.add_argument("--multihost", action="store_true",
+                    help="multi-host training: run one copy of this "
+                         "script per host (the reference's --nnodes path)."
+                         " Coordinator via --coordinator/--num-processes/"
+                         "--process-id or the JAX_* env vars; on TPU pods "
+                         "all are auto-detected and the flag alone "
+                         "suffices. --batch-size stays GLOBAL; each "
+                         "process loads its own 1/num_processes slice.")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (multihost)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     return ap.parse_args()
 
 
@@ -51,6 +63,12 @@ def main():
     import jax
     if os.environ.get("CMTCOOP_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["CMTCOOP_PLATFORM"])
+    if args.multihost:
+        from cmtcoop_tpu.parallel.mesh import initialize_multihost
+        pid = initialize_multihost(args.coordinator, args.num_processes,
+                                   args.process_id)
+        logging.info("multihost: process %d/%d, %d global devices",
+                     pid, jax.process_count(), len(jax.devices()))
     import jax.numpy as jnp
     from cmtcoop_tpu.configs.presets import get_preset
     from cmtcoop_tpu.models.build import build_detector
@@ -65,20 +83,26 @@ def main():
     dtype = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[args.dtype]
     mesh = make_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
-    batch_size = args.batch_size or n_dev
+    batch_size = args.batch_size or n_dev  # GLOBAL batch
+    n_proc = jax.process_count()
+    # each process feeds its slice of the global batch (shard_batch
+    # assembles the global array from process-local data)
+    local_batch = batch_size // n_proc
 
     model = build_detector(preset, train=True, dtype=dtype)
 
     if args.synthetic:
         from cmtcoop_tpu.data.synthetic import synthetic_batch_iter
         total_steps = args.steps or 100
-        batches = synthetic_batch_iter(preset, batch_size, args.seed)
+        batches = synthetic_batch_iter(
+            preset, local_batch, args.seed + jax.process_index())
         example = next(batches)
     else:
         from cmtcoop_tpu.data.loader import build_train_loader
         loader, steps_per_epoch = build_train_loader(
             preset, args.data_root, batch_size,
-            num_workers=args.num_workers, seed=args.seed)
+            num_workers=args.num_workers, seed=args.seed,
+            process_id=jax.process_index(), num_processes=n_proc)
         total_steps = args.steps or steps_per_epoch * args.epochs
         batches = None  # multi-epoch stream built after resume (below)
         example = loader._make_batch(loader.epoch_indices(0), 0)
