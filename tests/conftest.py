@@ -12,9 +12,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# compile-speed flags (same rationale as __graft_entry__'s dryrun): the
+# suite certifies SEMANTICS on the CPU mesh; XLA:CPU codegen quality is
+# irrelevant, and compilation dominates suite wall time on this 1-core
+# box (round-2 suite: 46 min, mostly cold compiles)
+for f in ("--xla_llvm_disable_expensive_passes=true",
+          "--xla_backend_optimization_level=0"):
+    if f.split("=")[0] not in flags:
+        flags += " " + f
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

@@ -21,7 +21,7 @@ def test_resnet50_shapes(rng):
 def test_r50_preset_exists_and_builds():
     p = get_preset("cmt_fusion_r50_nuscenes")
     assert p.img_spec == "r50"
-    assert p.grid_size == (1080, 1080, 40)
+    assert p.grid_size == (1024, 1024, 40)  # reference sparse_shape [41, 1024, 1024]
     ek = p.extractor_kwargs()
     assert ek["img_spec"] == "r50"
     assert ek["img_out_features"] == ("layer3", "layer4")

@@ -16,10 +16,10 @@ TINY_EXTRACTOR = dict(
     grid_size=(16, 16, 40),
     max_voxels=128,
     sparse_base_channels=8,
-    sparse_channels=((8, 8, 8), (8, 8, 16), (16, 16, 16), (16, 16)),
+    sparse_channels=((8, 16), (16,)),  # 2 stages: see test_detector
     sparse_out_channels=16,
-    sparse_stage_caps=(128, 128, 128, 128),
-    pillar_caps=(128, 128, 128, 128),
+    sparse_stage_caps=(128, 128),
+    pillar_caps=(128, 128),
     second_channels=(16, 32),
     second_layers=(1, 1),
     fpn_channels=(16, 16),
@@ -27,7 +27,7 @@ TINY_EXTRACTOR = dict(
 TINY_HEAD = dict(
     num_query=24, hidden_dim=32, in_channels=32, depth_num=8,
     max_gt=4, dn_groups=2, num_decoder_layers=2, num_heads=4,
-    feedforward_channels=64, dropout=0.0,
+    feedforward_channels=64, dropout=0.0, downsample_scale=2,
     tasks=(("CAR",),),
 )
 
