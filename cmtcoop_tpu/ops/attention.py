@@ -163,6 +163,63 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
     return res.reshape(b, h, nq, d)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention_diff(q, k, v, k_bias, block_q: int = 128,
+                         block_k: int = 1024, interpret: bool = False):
+    """Differentiable wrapper over the Pallas flash kernel.
+
+    pallas_call has no automatic transpose rule, so jax.grad through the
+    raw kernel fails at trace time — which made dropout-free training on
+    TPU (where `attend` routes long-KV cross-attention to flash) a crash.
+    Forward runs the flash kernel (the with_stats variant when taped);
+    backward recomputes P from the saved (m, l) softmax stats — one exp,
+    no second softmax pass — and takes the standard attention gradients
+    as XLA einsums. The backward materializes P (B, H, Nq, Nk) in bf16,
+    the FlashAttention-2 recompute strategy without the blocked dP pass;
+    at the bench shape (8h x 1k x 49k) that is ~0.8 GB of HBM, fine on a
+    16 GB chip (training with DN masks uses the XLA path anyway).
+    """
+    return flash_attention_kvmask(q, k, v, k_bias, block_q=block_q,
+                                  block_k=block_k, interpret=interpret)
+
+
+def _flash_diff_fwd(q, k, v, k_bias, block_q, block_k, interpret):
+    out, m, l = flash_attention_kvmask(
+        q, k, v, k_bias, block_q=block_q, block_k=block_k,
+        interpret=interpret, with_stats=True)
+    return out, (q, k, v, k_bias, out, m, l)
+
+
+def _flash_diff_bwd(block_q, block_k, interpret, res, do):
+    q, k, v, k_bias, out, m, l = res
+    dh = q.shape[-1]
+    scale = 1.0 / math.sqrt(dh)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    s = s + k_bias[:, None, None, :].astype(jnp.float32)
+    p = (jnp.exp(s - m[..., None])
+         / jnp.maximum(l, 1e-30)[..., None]).astype(v.dtype)
+    dof = do.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, do,
+                    preferred_element_type=jnp.float32).astype(v.dtype)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", do, v,
+                    preferred_element_type=jnp.float32)
+    delta = jnp.sum(dof * out.astype(jnp.float32), axis=-1,
+                    keepdims=True)                      # (b, h, nq, 1)
+    ds = p.astype(jnp.float32) * (dp - delta)
+    dq = (jnp.einsum("bhqk,bhkd->bhqd", ds.astype(k.dtype), k,
+                     preferred_element_type=jnp.float32)
+          * scale).astype(q.dtype)
+    dk = (jnp.einsum("bhqk,bhqd->bhkd", ds.astype(q.dtype), q,
+                     preferred_element_type=jnp.float32)
+          * scale).astype(k.dtype)
+    dkb = jnp.sum(ds, axis=(1, 2)).astype(k_bias.dtype)
+    return dq, dk, dv, dkb
+
+
+flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def _pad_to(x, axis, multiple):
     n = x.shape[axis]
     pad = (-n) % multiple
@@ -209,8 +266,7 @@ def attend(q, k, v, bias=None, k_bias=None, impl: str = "auto",
         vp = _pad_to(v, 2, block_k)
         kb = jnp.pad(k_bias, ((0, 0), (0, kp.shape[2] - nk)),
                      constant_values=NEG_INF)
-        out = flash_attention_kvmask(qp, kp, vp, kb, block_q=block_q,
-                                     block_k=block_k)
+        out = flash_attention_diff(qp, kp, vp, kb, block_q, block_k)
         return out[:, :, :nq]
     if k_bias is not None:
         kb = k_bias[:, None, None, :]

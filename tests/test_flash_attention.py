@@ -1,5 +1,6 @@
 """Pallas flash attention vs XLA reference (interpret mode on CPU)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cmtcoop_tpu.ops import attention as A
@@ -48,3 +49,37 @@ def test_forced_flash_rejects_2d_bias():
     bias = jnp.zeros((1, 1, 8, 32))
     with _pytest.raises(ValueError, match="2D attention bias"):
         attend(q, k, v, bias=bias, impl="flash")
+
+
+def test_flash_grad_matches_xla(rng):
+    """jax.grad through the flash path (custom VJP: flash forward,
+    stats-recompute XLA backward) matches grads through mha_reference —
+    the dropout-free train-on-TPU code path (r2 VERDICT weak #4)."""
+    from cmtcoop_tpu.ops.attention import (
+        NEG_INF, flash_attention_diff, mha_reference)
+
+    b, h, nq, nk, d = 1, 2, 128, 512, 16
+    q = jnp.asarray(rng.normal(size=(b, h, nq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, nk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, nk, d)).astype(np.float32))
+    kb = np.zeros((b, nk), np.float32)
+    kb[:, 400:] = NEG_INF                      # padded keys
+    kb = jnp.asarray(kb)
+    tgt = jnp.asarray(rng.normal(size=(b, h, nq, d)).astype(np.float32))
+
+    def loss_flash(q_, k_, v_):
+        o = flash_attention_diff(q_, k_, v_, kb, 128, 512, True)
+        return jnp.sum((o - tgt) ** 2)
+
+    def loss_ref(q_, k_, v_):
+        o = mha_reference(q_, k_, v_, kb[:, None, None, :])
+        return jnp.sum((o - tgt) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    # padded keys receive zero gradient
+    assert float(jnp.abs(gf[1][:, :, 400:]).max()) < 1e-6
+    assert float(jnp.abs(gf[2][:, :, 400:]).max()) < 1e-6
