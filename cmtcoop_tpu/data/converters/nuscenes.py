@@ -145,7 +145,7 @@ def build_infos(root: str, version: str = "v1.0-trainval",
                 timestamp=psd["timestamp"]))
             prev = psd["prev"]
 
-        boxes, names, vels, npts, valid = [], [], [], [], []
+        boxes, names, vels, npts, valid, attrs = [], [], [], [], [], []
         for ann in nusc.anns_by_sample.get(sample["token"], []):
             name = ann.get("category_name")
             if name is None or name not in NAME_MAP:
@@ -158,6 +158,11 @@ def build_infos(root: str, version: str = "v1.0-trainval",
             vels.append([0.0, 0.0])
             npts.append(ann.get("num_lidar_pts", 0))
             valid.append(ann.get("num_lidar_pts", 0) > 0)
+            # attribute name (devkit: <=1 attribute per box) — feeds the
+            # mAAE metric of the nuScenes eval protocol
+            at = ann.get("attribute_tokens") or []
+            attrs.append(
+                nusc.t["attribute"][at[0]]["name"] if at else "")
         infos.append(dict(
             token=sample["token"],
             timestamp=sd["timestamp"],
@@ -170,6 +175,7 @@ def build_infos(root: str, version: str = "v1.0-trainval",
             gt_velocity=np.asarray(vels, np.float32).reshape(-1, 2),
             num_lidar_pts=np.asarray(npts),
             valid_flag=np.asarray(valid, bool),
+            gt_attrs=np.asarray(attrs),
         ))
     return infos
 

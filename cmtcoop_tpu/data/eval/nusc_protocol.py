@@ -29,9 +29,18 @@ MIN_RECALL = 0.1
 MIN_PRECISION = 0.1
 MEAN_AP_WEIGHT = 5
 TP_METRICS = ("trans_err", "scale_err", "orient_err", "vel_err")
+# protocol="nuscenes" additionally scores attribute errors (devkit mAAE)
+TP_METRICS_NUSC = TP_METRICS + ("attr_err",)
+# devkit per-class TP-metric exclusions (nuscenes-devkit
+# evaluate.py::DetectionMetrics — cones have no orientation/velocity/
+# attributes, barriers no velocity/attributes)
+TP_EXCLUDE = {
+    "traffic_cone": {"attr_err", "vel_err", "orient_err"},
+    "barrier": {"attr_err", "vel_err"},
+}
 ERR_NAME_MAPPING = {
     "trans_err": "mATE", "scale_err": "mASE", "orient_err": "mAOE",
-    "vel_err": "mAVE",
+    "vel_err": "mAVE", "attr_err": "mAAE",
 }
 
 
@@ -74,12 +83,21 @@ def cummean(x: np.ndarray) -> np.ndarray:
                      where=count_vals != 0)
 
 
+def attr_acc(gt, pred) -> float:
+    """Attribute accuracy (devkit attr_acc): NaN when the GT box carries
+    no attribute (the devkit excludes those pairs via cummean)."""
+    a = gt.get("attribute_name", "")
+    if not a:
+        return np.nan
+    return float(a == pred.get("attribute_name", ""))
+
+
 def _no_predictions_md():
     return {
         "recall": np.linspace(0, 1, 101), "precision": np.zeros(101),
         "confidence": np.zeros(101), "trans_err": np.ones(101),
         "vel_err": np.ones(101), "scale_err": np.ones(101),
-        "orient_err": np.ones(101),
+        "orient_err": np.ones(101), "attr_err": np.ones(101),
     }
 
 
@@ -100,7 +118,8 @@ def accumulate(gt_boxes: Dict, pred_boxes: Dict, class_name: str,
 
     tp, fp, conf = [], [], []
     match_data = {k: [] for k in
-                  ("trans_err", "vel_err", "scale_err", "orient_err", "conf")}
+                  ("trans_err", "vel_err", "scale_err", "orient_err",
+                   "attr_err", "conf")}
     taken = set()
     for ind in sortind:
         pred_box = pred_list[ind]
@@ -122,6 +141,7 @@ def accumulate(gt_boxes: Dict, pred_boxes: Dict, class_name: str,
             period = np.pi if class_name == "barrier" else 2 * np.pi
             match_data["orient_err"].append(
                 yaw_diff(gtm, pred_box, period=period))
+            match_data["attr_err"].append(1.0 - attr_acc(gtm, pred_box))
             match_data["conf"].append(pred_box["detection_score"])
         else:
             tp.append(0); fp.append(1)
@@ -140,7 +160,8 @@ def accumulate(gt_boxes: Dict, pred_boxes: Dict, class_name: str,
     conf = np.interp(rec_interp, rec, conf, right=0)
 
     out = {"recall": rec_interp, "precision": prec, "confidence": conf}
-    for key in ("trans_err", "vel_err", "scale_err", "orient_err"):
+    for key in ("trans_err", "vel_err", "scale_err", "orient_err",
+                "attr_err"):
         tmp = cummean(np.array(match_data[key]))
         out[key] = np.interp(
             conf[::-1], np.array(match_data["conf"])[::-1], tmp[::-1])[::-1]
@@ -178,12 +199,25 @@ def calc_tp(md, min_recall: float, metric_name: str) -> float:
 def evaluate_detection(gt_boxes: Dict, pred_boxes: Dict,
                        class_names: Sequence[str],
                        cls_range: Dict[str, float] = None,
-                       output_dir: str = None) -> Dict:
+                       output_dir: str = None,
+                       protocol: str = "a9") -> Dict:
     """Full protocol: returns the metrics_summary dict
     (a9coop_dataset.py:830-969) plus the flat `object/...` detail keys
     (a9coop_dataset.py:1000-1016). With `output_dir`, also writes the
     reference's eval artifacts metrics_summary.json + metrics_details.json
-    (a9coop_dataset.py:918-940)."""
+    (a9coop_dataset.py:918-940).
+
+    protocol="a9" (default): the reference's token-less in-repo scorer —
+    4 TP metrics, NDS = (5*mAP + sum(1-err)) / 9.
+    protocol="nuscenes": the official devkit's CVPR-2019 configuration —
+    adds the attribute error (mAAE; boxes carry `attribute_name`), the
+    devkit's per-class TP exclusions (cones: attr/vel/orient; barriers:
+    attr/vel), NDS = (5*mAP + sum of 5 (1-err)) / 10. Not replicated
+    from the devkit (needs the map DB): bike-rack filtering — documented
+    deviation, negligible on val mAP.
+    """
+    tp_metrics = TP_METRICS_NUSC if protocol == "nuscenes" else TP_METRICS
+    excl = TP_EXCLUDE if protocol == "nuscenes" else {}
     cls_range = dict(CLS_RANGE if cls_range is None else cls_range)
     pred_boxes = filter_eval_boxes(pred_boxes, cls_range)
     gt_boxes = filter_eval_boxes(gt_boxes, cls_range)
@@ -200,9 +234,12 @@ def evaluate_detection(gt_boxes: Dict, pred_boxes: Dict,
         for dist_th in DIST_THS:
             label_aps[class_name][dist_th] = calc_ap(
                 mdl[(class_name, dist_th)], MIN_RECALL, MIN_PRECISION)
-        for metric_name in TP_METRICS:
-            label_tp_errors[class_name][metric_name] = calc_tp(
-                mdl[(class_name, DIST_TH_TP)], MIN_RECALL, metric_name)
+        for metric_name in tp_metrics:
+            if metric_name in excl.get(class_name, ()):
+                label_tp_errors[class_name][metric_name] = float("nan")
+            else:
+                label_tp_errors[class_name][metric_name] = calc_tp(
+                    mdl[(class_name, DIST_TH_TP)], MIN_RECALL, metric_name)
 
     mean_dist_aps = {c: float(np.mean(list(d.values())))
                      for c, d in label_aps.items()}
@@ -210,7 +247,7 @@ def evaluate_detection(gt_boxes: Dict, pred_boxes: Dict,
     tp_errors = {
         m: float(np.nanmean(
             [label_tp_errors[c][m] for c in class_names]))
-        for m in TP_METRICS}
+        for m in tp_metrics}
     tp_scores = {m: max(0.0, 1.0 - e) for m, e in tp_errors.items()}
     nd_score = float(
         MEAN_AP_WEIGHT * mean_ap + np.sum(list(tp_scores.values())))

@@ -106,4 +106,4 @@ class CustomNuScenesDataset(A9NuscCoopDataset):
             pred_boxes_by_ts.setdefault(ts, [])
         return evaluate_detection(
             gt, pred_boxes_by_ts, self.class_names,
-            cls_range=NUSC_CLS_RANGE)
+            cls_range=NUSC_CLS_RANGE, protocol="nuscenes")

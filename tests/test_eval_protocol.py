@@ -80,3 +80,92 @@ def test_class_confusion_is_fp():
     assert s["label_aps"]["CAR"][4.0] == 0.0
     assert s["label_aps"]["TRUCK"][4.0] == 0.0
     assert "object/map" in s["detail"] and "object/nds" in s["detail"]
+
+
+def _box(x, y, name, score=None, attr="", vel=(0.0, 0.0)):
+    b = dict(translation=(x, y, 1.0), size=(2.0, 4.0, 1.5), yaw=0.0,
+             velocity=vel, detection_name=name, ego_dist=float(np.hypot(x, y)),
+             num_pts=10, timestamp=0, attribute_name=attr)
+    if score is not None:
+        b["detection_score"] = score
+    return b
+
+
+def test_nuscenes_protocol_attr_err_and_nds10():
+    """protocol="nuscenes": mAAE from attribute_name, NDS over 10."""
+    from cmtcoop_tpu.data.eval.nusc_protocol import evaluate_detection
+
+    gt = {0: [_box(0, 0, "car", attr="vehicle.parked"),
+              _box(10, 0, "car", attr="vehicle.moving")]}
+    # perfect boxes; one attribute right, one wrong
+    pred = {0: [_box(0, 0, "car", 0.9, attr="vehicle.parked"),
+                _box(10, 0, "car", 0.8, attr="vehicle.parked")]}
+    cls_range = {"car": 50}
+    res = evaluate_detection(
+        {k: list(v) for k, v in gt.items()},
+        {k: list(v) for k, v in pred.items()},
+        ["car"], cls_range=cls_range, protocol="nuscenes")
+    assert res["mean_ap"] > 0.9
+    # one of two attributes wrong -> 0 < mAAE < 1 (cummean-interpolated
+    # TP curve, devkit semantics)
+    assert 0.1 < res["tp_errors"]["attr_err"] < 0.9
+    # exact endpoints: all-wrong -> 1.0, all-right -> 0.0
+    pw = {0: [_box(0, 0, "car", 0.9, attr="vehicle.moving"),
+              _box(10, 0, "car", 0.8, attr="vehicle.parked")]}
+    rw = evaluate_detection(
+        {k: list(v) for k, v in gt.items()}, pw, ["car"],
+        cls_range=cls_range, protocol="nuscenes")
+    assert abs(rw["tp_errors"]["attr_err"] - 1.0) < 1e-9
+    pr = {0: [_box(0, 0, "car", 0.9, attr="vehicle.parked"),
+              _box(10, 0, "car", 0.8, attr="vehicle.moving")]}
+    rr = evaluate_detection(
+        {k: list(v) for k, v in gt.items()}, pr, ["car"],
+        cls_range=cls_range, protocol="nuscenes")
+    assert abs(rr["tp_errors"]["attr_err"]) < 1e-9
+    # NDS denominator is 10 (5*mAP + 5 tp scores)
+    expect = (5 * res["mean_ap"] + sum(
+        max(0.0, 1.0 - res["tp_errors"][m]) for m in
+        ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")
+    )) / 10.0
+    assert abs(res["nd_score"] - expect) < 1e-9
+
+
+def test_nuscenes_protocol_class_exclusions():
+    """Cones score no orient/vel/attr error; barriers no vel/attr; the
+    excluded entries are NaN and drop out of the means (devkit rule)."""
+    from cmtcoop_tpu.data.eval.nusc_protocol import evaluate_detection
+
+    gt = {0: [_box(0, 0, "traffic_cone"), _box(10, 0, "barrier"),
+              _box(20, 0, "car", attr="vehicle.parked")]}
+    pred = {0: [_box(0, 0, "traffic_cone", 0.9),
+                _box(10, 0, "barrier", 0.9),
+                _box(20, 0, "car", 0.9, attr="vehicle.parked")]}
+    cr = {"traffic_cone": 30, "barrier": 30, "car": 50}
+    res = evaluate_detection(
+        gt, pred, ["traffic_cone", "barrier", "car"], cls_range=cr,
+        protocol="nuscenes")
+    lte = res["label_tp_errors"]
+    assert np.isnan(lte["traffic_cone"]["orient_err"])
+    assert np.isnan(lte["traffic_cone"]["vel_err"])
+    assert np.isnan(lte["traffic_cone"]["attr_err"])
+    assert np.isnan(lte["barrier"]["vel_err"])
+    assert np.isnan(lte["barrier"]["attr_err"])
+    assert not np.isnan(lte["barrier"]["orient_err"])
+    # means ignore the NaNs: only the car contributes to mAAE, and its
+    # attribute matches -> mAAE 0
+    assert res["tp_errors"]["attr_err"] < 0.05
+
+
+def test_a9_protocol_unchanged_by_attr_fields():
+    """Default protocol stays the reference's 4-metric / NDS-over-9."""
+    from cmtcoop_tpu.data.eval.nusc_protocol import evaluate_detection
+
+    gt = {0: [_box(0, 0, "CAR")]}
+    pred = {0: [_box(0, 0, "CAR", 0.9)]}
+    res = evaluate_detection(gt, pred, ["CAR"],
+                             cls_range={"CAR": 50})
+    assert "attr_err" not in res["tp_errors"]
+    expect = (5 * res["mean_ap"] + sum(
+        max(0.0, 1.0 - res["tp_errors"][m]) for m in
+        ("trans_err", "scale_err", "orient_err", "vel_err"))) / 9.0
+    assert abs(res["nd_score"] - expect) < 1e-9
