@@ -51,7 +51,7 @@ def main():
         use_lidar=use_lidar, use_camera=use_camera,
         extractor_kwargs=dict(
             max_voxels=65536,
-            pillar_caps=(49152, 24576, 16384, 16384)),
+            pillar_caps=(38400, 26624, 15360, 7168)),
         head_kwargs=dict(max_gt=128),
         dtype=dtype,
     )
@@ -72,7 +72,7 @@ def main():
             p, m, voxel_size=(0.1, 0.1, 0.2),
             pc_range=(-72.0, -72.0, -8.0, 72.0, 72.0, 0.0),
             grid_size=(1440, 1440, 40), max_points=10,
-            max_voxels=65536, max_pillars=49152, return_stats=True)[4])
+            max_voxels=65536, max_pillars=38400, return_stats=True)[4])
         for agent in ("vehicle_", "infrastructure_"):
             s = jax.device_get(stats_fn(batch[agent + "points"][0],
                                         batch[agent + "points_mask"][0]))

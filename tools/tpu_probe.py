@@ -106,11 +106,11 @@ def probe_camera(dtype=jnp.bfloat16, views=4, hw=(640, 1600)):
     params = jax.jit(lambda k, x_: net.init(k, x_, False))(
         jax.random.PRNGKey(0), x)
 
-    def full(c, x_):
-        outs = net.apply(params, x_ + c.astype(dtype) * 0, False)
+    def full(c, pr, x_):
+        outs = net.apply(pr, x_ + c.astype(dtype) * 0, False)
         return sum(o.astype(jnp.float32).sum() * 1e-20
                    for o in outs.values())
-    loop_time(full, x, name=f"VoVNet-99 {views}x{h}x{w}", n=10)
+    loop_time(full, params, x, name=f"VoVNet-99 {views}x{h}x{w}", n=10)
 
     # per-stage: run the backbone's submodules incrementally
     feats = net.apply(params, x, False)
@@ -118,15 +118,15 @@ def probe_camera(dtype=jnp.bfloat16, views=4, hw=(640, 1600)):
     nparams = jax.jit(lambda k, f: neck.init(k, f, False))(
         jax.random.PRNGKey(0), [feats["stage4"], feats["stage5"]])
 
-    def neck_fn(c, f4, f5):
-        outs = neck.apply(nparams, [f4 + c.astype(dtype) * 0, f5], False)
+    def neck_fn(c, pr, f4, f5):
+        outs = neck.apply(pr, [f4 + c.astype(dtype) * 0, f5], False)
         return sum(o.astype(jnp.float32).sum() * 1e-20 for o in outs)
-    loop_time(neck_fn, feats["stage4"], feats["stage5"], name="CPFPN",
-              n=20)
+    loop_time(neck_fn, nparams, feats["stage4"], feats["stage5"],
+              name="CPFPN", n=20)
 
 
 def probe_lidar(dtype=jnp.bfloat16, max_pillars=49152,
-                pillar_caps=(49152, 24576, 16384, 16384)):
+                pillar_caps=(38400, 26624, 15360, 7168)):
     from cmtcoop_tpu.models.pillar_encoder import PillarSparseEncoder
     from cmtcoop_tpu.models.second import SECOND, SECONDFPN
     from cmtcoop_tpu.ops.pillars import pillarize
@@ -155,14 +155,14 @@ def probe_lidar(dtype=jnp.bfloat16, max_pillars=49152,
         k, None, None, None, False, prebuilt=pb))(
         jax.random.PRNGKey(0), prebuilt)
 
-    def enc_fn(c, pb):
+    def enc_fn(c, pr, pb):
         pb = jax.tree.map(
             lambda x: (x + c.astype(x.dtype) * 0
                        if jnp.issubdtype(x.dtype, jnp.floating) else x),
             pb)
-        bev = enc.apply(params, None, None, None, False, prebuilt=pb)
+        bev = enc.apply(pr, None, None, None, False, prebuilt=pb)
         return bev.astype(jnp.float32).sum() * 1e-20
-    loop_time(enc_fn, prebuilt,
+    loop_time(enc_fn, params, prebuilt,
               name=f"pillar encoder caps={tuple(pillar_caps)}", n=10)
 
     bev = jax.jit(lambda pb: enc.apply(
@@ -175,11 +175,11 @@ def probe_lidar(dtype=jnp.bfloat16, max_pillars=49152,
     fp = jax.jit(lambda k, s: fpn.init(k, s, False))(
         jax.random.PRNGKey(0), souts)
 
-    def sf(c, b):
-        outs = second.apply(sp, b + c.astype(dtype) * 0, False)
-        o = fpn.apply(fp, outs, False)
+    def sf(c, sp_, fp_, b):
+        outs = second.apply(sp_, b + c.astype(dtype) * 0, False)
+        o = fpn.apply(fp_, outs, False)
         return o.astype(jnp.float32).sum() * 1e-20
-    loop_time(sf, bev, name="SECOND+FPN", n=20)
+    loop_time(sf, sp, fp, bev, name="SECOND+FPN", n=20)
 
 
 def probe_decoder(dtype=jnp.bfloat16):
@@ -197,13 +197,13 @@ def probe_decoder(dtype=jnp.bfloat16):
     params = jax.jit(lambda k: head.init(
         {"params": k}, [agent]))(jax.random.PRNGKey(0))
 
-    def mem_fn(c, ag):
+    def mem_fn(c, pr, ag):
         ag = AgentInputs(ag.bev_feat + c.astype(dtype) * 0, ag.img_feats,
                          ag.lidar2img, ag.img2lidar, ag.pad_hw)
-        mem, pos = head.apply(params, ag, 1, method=CmtHead.build_memory)
+        mem, pos = head.apply(pr, ag, 1, method=CmtHead.build_memory)
         return (mem.astype(jnp.float32).sum()
                 + pos.astype(jnp.float32).sum()) * 1e-20
-    loop_time(mem_fn, agent, name="build_memory", n=10)
+    loop_time(mem_fn, params, agent, name="build_memory", n=10)
 
     mem = jnp.asarray(rng.normal(size=(1, 44400, 256))
                       .astype(np.float32)).astype(dtype)
@@ -212,11 +212,12 @@ def probe_decoder(dtype=jnp.bfloat16):
     q = jnp.asarray(rng.normal(size=(1, 900, 256))
                     .astype(np.float32)).astype(dtype)
 
-    def dec_fn(c, m, p, q_):
-        o = head.apply(params, m + c.astype(dtype) * 0, p, q_, 1,
+    def dec_fn(c, pr, m, p, q_):
+        o = head.apply(pr, m + c.astype(dtype) * 0, p, q_, 1,
                        method=CmtHead.run_decoder)
         return o.astype(jnp.float32).sum() * 1e-20
-    loop_time(dec_fn, mem, pos, q, name="decoder 6L x 44.4k KV", n=10)
+    loop_time(dec_fn, params, mem, pos, q,
+              name="decoder 6L x 44.4k KV", n=10)
 
 
 def probe_full(dtype=jnp.bfloat16):
