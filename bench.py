@@ -87,6 +87,9 @@ def main():
             assert int(s["n_voxels_dropped"]) == 0, \
                 "bench cloud overflows the voxel cap — headline invalid"
 
+    # NOTE: shape-only init (dryrun-style) was measured SLOWER here —
+    # tracing the bench-scale graph locally + shipping ~600 MB of leaves
+    # through the axon relay costs more than the remote init compile
     t0 = time.time()
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     jax.block_until_ready(variables)
@@ -102,11 +105,6 @@ def main():
             jnp.sum(v.astype(jnp.float32))
             for t in task_outs for v in t.values())
 
-    t0 = time.time()
-    float(forward(variables, batch))
-    print(f"# first forward (compile): {time.time() - t0:.1f}s",
-          file=sys.stderr, flush=True)
-
     # Latency measurement. The axon relay adds a fixed ~31 ms host-fetch
     # to every dispatched call — tunnel overhead, not device time (absent
     # on a local TPU host). So frames run device-side in a carry-forced
@@ -115,18 +113,30 @@ def main():
     # pipelined throughput), with ONE host fetch at the end, mirroring
     # the reference's cuda-synchronized wall-clock loop (benchmark.py:
     # 109-138). The per-dispatch number is printed as a diagnostic.
-    @functools.partial(jax.jit, static_argnames=("n",))
+    # n is a RUNTIME argument: one compile serves both the per-dispatch
+    # (n=1) and loop measurements — the static-n version compiled the
+    # whole model a second (and third) time, which blew the bench budget
+    # once the backbone gained ~100 Pallas kernels. The carry perturbs
+    # inputs by c * 1e-30 (not c * 0, which the algebraic simplifier may
+    # fold, unhooking the loop-carry dependence).
+    @jax.jit
     def forward_n(variables, batch, n):
         def body(i, c):
             # every input leaf depends on the carry, so NO part of the
             # frame is loop-invariant or overlappable with the next
             b = {
-                k: v + (c * 0).astype(v.dtype)
+                k: v + (c * 1e-30).astype(v.dtype)
                 if jnp.issubdtype(v.dtype, jnp.floating) else v
                 for k, v in batch.items()
             }
             return c + forward(variables, b)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    t0 = time.time()
+    float(forward_n(variables, batch, 1))
+    print(f"# first forward (compile): {time.time() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
 
     # relay fetch overhead: the fixed cost of any host-fetched call
     tiny = jax.jit(lambda x: x * 1.0)
@@ -137,12 +147,11 @@ def main():
         float(jnp.sum(tiny(xs)))
     fetch = (time.time() - t0) / 10
 
-    float(forward_n(variables, batch, args.iters))  # compile
     for _ in range(args.warmup):
-        float(forward(variables, batch))
+        float(forward_n(variables, batch, 1))
     t0 = time.time()
     for _ in range(args.iters):
-        float(forward(variables, batch))
+        float(forward_n(variables, batch, 1))
     per_dispatch = (time.time() - t0) / args.iters
     t0 = time.time()
     float(forward_n(variables, batch, args.iters))

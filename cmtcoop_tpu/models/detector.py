@@ -68,6 +68,9 @@ class FeatureExtractor(nn.Module):
     img_out_features: Sequence[str] = ("stage4", "stage5")
     neck_out_channels: int = 256
     use_grid_mask: bool = True
+    # "auto": channels-first fused Pallas conv path for VoVNet eval on
+    # TPU (models/vovnet_cf.py, parity-tested); "xla": always flax convs
+    img_impl: str = "auto"
     train_mode: bool = False
     dtype: Any = jnp.float32
 
@@ -112,7 +115,17 @@ class FeatureExtractor(nn.Module):
         x = imgs.reshape(b * v, h, w, c).astype(self.dtype)
         if self.use_grid_mask and self.train_mode:
             x = grid_mask(self.make_rng("gridmask"), x)
-        feats = self.img_backbone(x, self.train_mode)
+        use_cf = (self.img_impl == "auto" and not self.train_mode
+                  and not self.is_initializing()
+                  and not self.img_spec.startswith("r")
+                  and jax.default_backend() == "tpu")
+        if use_cf:
+            from cmtcoop_tpu.models.vovnet_cf import vovnet_cf
+            feats = vovnet_cf(
+                self.img_backbone.variables, x, self.img_spec,
+                tuple(self.img_out_features), dtype=self.dtype)
+        else:
+            feats = self.img_backbone(x, self.train_mode)
         outs = self.img_neck(
             [feats[k] for k in self.img_out_features], self.train_mode)
         f0 = outs[0]  # stride-16 level feeds the head (cmt_head multi_apply

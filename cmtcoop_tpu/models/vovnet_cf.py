@@ -1,0 +1,148 @@
+"""Channels-first fused-eval forward for VoVNet (TPU fast path).
+
+A pure function over the flax `VoVNet` variable tree (same params /
+batch_stats — nothing new to train or convert): stem convs run through
+XLA (3-channel input, stride 2), every OSA 3x3 conv runs through the
+`conv3x3_cf` Pallas kernel (K packs 3*Cin: no 128-lane channel padding,
+measured 39% -> 60%+ of bf16 peak at VoVNet-99's 160-224 channel counts),
+and the OSA concat+1x1 aggregate is rewritten as a concat-free sum of
+channels-first matmuls (the NHWC concat materializes ~135 MB/block at
+stage3). The cf layout threads through whole stages with NO guard-pad or
+slice copies (the kernel maintains its own zero lead/tail blocks); eSE
+and max-pool stay channels-first; layout converts once on entry and once
+per emitted stage output.
+
+Used by FeatureExtractor.extract_img_feat at eval on TPU; training/init
+use the flax module (reference models/backbones/vovnet.py:278-390).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from cmtcoop_tpu.models.vovnet import STAGE_SPECS
+from cmtcoop_tpu.ops.conv_cf import (conv3x3_cf, from_cf, osa_agg_cf,
+                                     plan_nl, plan_wp, to_cf)
+
+BN_EPS = 1e-5
+
+
+def _fold_bn(p, bs):
+    """eval-mode BN -> (scale, bias) affine."""
+    scale = p["scale"] * jax.lax.rsqrt(bs["var"] + BN_EPS)
+    bias = p["bias"] - bs["mean"] * scale
+    return scale, bias
+
+
+def _convbn_xla(x, p, bs, stride, relu=True, dtype=jnp.bfloat16):
+    """Torch-padded conv + folded BN via XLA (stem convs)."""
+    k = p["Conv_0"]["kernel"].astype(dtype)
+    kh, kw = k.shape[:2]
+    pad = ((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), k, (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    scale, bias = _fold_bn(p["BatchNorm_0"], bs["BatchNorm_0"])
+    y = y * scale + bias
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(dtype)
+
+
+def _ese_cf(x_flat, p, h, w):
+    """eSE on cf (V, C, NL): GAP over the (zero-padded) spatial lanes,
+    1x1 fc, hard-sigmoid, channel scale (scaling preserves zero pads)."""
+    s = jnp.sum(x_flat.astype(jnp.float32), axis=2) / float(h * w)  # (V,C)
+    k = p["fc"]["kernel"][0, 0].astype(jnp.float32)      # (C, C)
+    b = p["fc"]["bias"].astype(jnp.float32)
+    s = s @ k + b
+    s = (jnp.clip(s + 3.0, 0.0, 6.0) / 6.0).astype(x_flat.dtype)
+    return x_flat * s[:, :, None]
+
+
+def _maxpool_cf(x_flat, h, w, rt=8):
+    """3x3 stride-2 ceil-mode max pool: cf -> cf. Safe with zero pads:
+    activations are >= 0 post-ReLU/eSE."""
+    v, c, n = x_flat.shape
+    wp = plan_wp(w)
+    x = x_flat.reshape(v, c, n // wp, wp)[:, :, :h, :w]
+    pad_h = (h - 3) % 2
+    pad_w = (w - 3) % 2
+    h2 = (h - 3 + pad_h) // 2 + 1
+    w2 = (w - 3 + pad_w) // 2 + 1
+    y = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+        [(0, 0), (0, 0), (0, pad_h), (0, pad_w)])
+    wp2 = plan_wp(w2)
+    rows2 = plan_nl(h2, w2, rt) // wp2
+    y = jnp.pad(y, ((0, 0), (0, 0), (0, rows2 - h2), (0, wp2 - w2)))
+    return y.reshape(v, c, rows2 * wp2), h2, w2
+
+
+def _osa_cf(x_cf, p, bs, identity, h, w, dtype, rt=8):
+    """One OSA block, cf in -> cf out (same layout)."""
+    layer_out = [x_cf]
+    y = x_cf
+    for i in range(5):
+        if f"conv{i}" not in p:
+            break
+        cp = p[f"conv{i}"]
+        scale, bias = _fold_bn(cp["BatchNorm_0"],
+                               bs[f"conv{i}"]["BatchNorm_0"])
+        y = conv3x3_cf(y, cp["Conv_0"]["kernel"].astype(dtype), h, w,
+                       scale=scale, bias=bias, relu=True, rt=rt)
+        layer_out.append(y)
+    # fused aggregate kernel: 1x1 conv over the (virtual) channel concat
+    # + BN + ReLU + pad mask + eSE GAP sums in ONE pass over the parts
+    # (sum-of-XLA-einsums materialized an f32 intermediate per part —
+    # measured ~5 ms of pure HBM traffic per stage-2 block)
+    aggk = p["concat"]["Conv_0"]["kernel"][0, 0]         # (sumC, Cout)
+    scale, bias = _fold_bn(p["concat"]["BatchNorm_0"],
+                           bs["concat"]["BatchNorm_0"])
+    agg, gap = osa_agg_cf(layer_out, aggk, scale, bias, h, w, rt)
+    # eSE from the GAP by-product: fc + hard-sigmoid + channel scale
+    s = gap / float(h * w)
+    s = s @ p["ese"]["fc"]["kernel"][0, 0].astype(jnp.float32) \
+        + p["ese"]["fc"]["bias"].astype(jnp.float32)
+    s = (jnp.clip(s + 3.0, 0.0, 6.0) / 6.0).astype(agg.dtype)
+    out = agg * s[:, :, None]
+    if identity:
+        out = out + x_cf
+    return out
+
+
+def vovnet_cf(variables: Dict[str, Any], x_nhwc: jnp.ndarray,
+              spec_name: str, out_features: Sequence[str],
+              dtype=jnp.bfloat16, rt: int = 8) -> Dict[str, jnp.ndarray]:
+    """Eval forward matching `VoVNet.__call__` (NHWC in/out)."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    spec = STAGE_SPECS[spec_name]
+    x = _convbn_xla(x_nhwc, p["stem1"], bs["stem1"], 2, dtype=dtype)
+    # stem2 is stride-1 -> cf kernel (measured 3.3 -> 1.4 ms at 4 views;
+    # the stride-2 stem1/stem3 stay on XLA)
+    h2, w2 = x.shape[1], x.shape[2]
+    sc2, bi2 = _fold_bn(p["stem2"]["BatchNorm_0"], bs["stem2"]["BatchNorm_0"])
+    x = conv3x3_cf(to_cf(x, rt), p["stem2"]["Conv_0"]["kernel"].astype(dtype),
+                   h2, w2, scale=sc2, bias=bi2, relu=True, rt=rt)
+    x = from_cf(x, h2, w2)
+    x = _convbn_xla(x, p["stem3"], bs["stem3"], 2, dtype=dtype)
+    outputs = {}
+    if "stem" in out_features:
+        outputs["stem"] = x
+
+    v, h, w, _ = x.shape
+    flat = to_cf(x, rt)
+    for i in range(4):
+        name = f"stage{i + 2}"
+        if i != 0:
+            flat, h, w = _maxpool_cf(flat, h, w, rt)
+        for b in range(spec["block_per_stage"][i]):
+            flat = _osa_cf(flat, p[f"{name}_block{b}"],
+                           bs[f"{name}_block{b}"], b > 0, h, w, dtype, rt)
+        if name in out_features:
+            outputs[name] = from_cf(flat, h, w)
+    return outputs

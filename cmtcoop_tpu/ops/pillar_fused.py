@@ -28,6 +28,7 @@ kernels (reference: mmdet3d SparseEncoder, coop config pts_middle_encoder).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -36,6 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cmtcoop_tpu.ops import pillars as pu
+
+# K-packed tiled band contraction (taps stacked along K, one matmul per
+# z-tile): measured ~8% SLOWER than per-tap matmuls at every stage (the
+# kbuf assembly stores outweigh the removed K padding; runs/tpu_probe.log
+# probe_pillar_kernel) — default off, kept for re-evaluation on future
+# hardware. Env override: CMTCOOP_KPACK=1.
+KPACK = os.environ.get("CMTCOOP_KPACK", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -74,7 +82,8 @@ def _tile_plan(z_in, z_out, cin, cout, kz, z_stride, z_pad):
     band: Tin*Cin shrinks faster than the tile count grows).
 
     Returns (T, Tin, starts) or None when tiling wouldn't help."""
-    t = max(1, -(-128 // cout))  # ceil(128 / cout) output z per tile
+    lanes = int(os.environ.get("CMTCOOP_TILE_LANES", "128"))
+    t = max(1, -(-lanes // cout))  # ceil(lanes / cout) output z per tile
     t = min(t, z_out)
     ntiles = -(-z_out // t)
     tin = (t - 1) * z_stride + kz
@@ -227,6 +236,7 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
     buf_lo = next(it)
     buf_mid = next(it)
     buf_hi = next(it)
+    kbuf = next(it) if (tiles is not None and KPACK) else None
     sem = next(it)
 
     blk = pl.program_id(0)
@@ -264,32 +274,58 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
     w_mid = buf_mid[blk % 2]
     w_hi = buf_hi[blk % 2]
 
+    # M-stacked one-hot gathers: the 3 taps of a dy group share one
+    # window, so their one-hots stack along M into ONE (3*bp, win) @
+    # (win, ZCP) matmul per group (same MACs, 2/3 fewer matmul launches
+    # than per-tap gathers; per-launch overhead is ~10% of this kernel)
     iota = jax.lax.broadcasted_iota(jnp.int32, (bp, win_d), 1)
-    gs = []
-    for j in range(3):
-        oh = (nbrl_ref[:, j][:, None] == iota).astype(w_lo.dtype)
-        gs.append(jax.lax.dot_general(
-            oh, w_lo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(w_lo.dtype))
+
+    def gather3(cols, wbuf):
+        oh = jnp.concatenate(
+            [(nbrl_ref[:, c][:, None] == iota).astype(wbuf.dtype)
+             for c in range(cols[0], cols[0] + 3)], axis=0)
+        g = jax.lax.dot_general(
+            oh, wbuf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(wbuf.dtype)
+        return [g[j * bp:(j + 1) * bp] for j in range(3)]
+
+    gs = gather3((0, 1, 2), w_lo)
     if subm:
         m = mask_ref[...]  # (bp, 3) existence of left/center/right
         gs.append(w_mid[PADG - 1:PADG - 1 + bp] * m[:, 0:1])
         gs.append(w_mid[PADG:PADG + bp] * m[:, 1:2])
         gs.append(w_mid[PADG + 1:PADG + 1 + bp] * m[:, 2:3])
+        gs.extend(gather3((3, 4, 5), w_hi))
     else:
-        for j in range(3):
-            oh = (nbrl_ref[:, 3 + j][:, None] == iota).astype(w_mid.dtype)
-            gs.append(jax.lax.dot_general(
-                oh, w_mid, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(w_mid.dtype))
-    for j in range(3):
-        col = 6 + j if not subm else 3 + j
-        oh = (nbrl_ref[:, col][:, None] == iota).astype(w_hi.dtype)
-        gs.append(jax.lax.dot_general(
-            oh, w_hi, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(w_hi.dtype))
+        gs.extend(gather3((3, 4, 5), w_mid))
+        gs.extend(gather3((6, 7, 8), w_hi))
 
-    acc = _band_contract(gs, band_ref, bp, 9, zoco, tiles, cin, cout)
+    if tiles is None or not KPACK:
+        acc = _band_contract(gs, band_ref, bp, 9, zoco, tiles, cin, cout)
+    elif True:
+        # K-packed tiled band: the 9 taps' tile slices are stored
+        # contiguously in K and contracted in ONE (bp, 9*Tin*Cin) matmul
+        # per z-tile — removes the per-tap K padding (e.g. 160 -> 256
+        # lanes = 1.6x wasted MXU streams at stage 0). kbuf's pad lanes
+        # multiply zero band rows, so only a one-time NaN-guard zero of
+        # the pad region is needed.
+        t, tin, tstarts = tiles
+        tcp = tin * cin
+        kp = kbuf.shape[1]
+        if kp > 9 * tcp:
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                kbuf[:, 9 * tcp:] = jnp.zeros(
+                    (bp, kp - 9 * tcp), kbuf.dtype)
+        cols = []
+        for ti, s0 in enumerate(tstarts):
+            lo = s0 * cin
+            for j in range(9):
+                kbuf[:, j * tcp:(j + 1) * tcp] = gs[j][:, lo:lo + tcp]
+            cols.append(jax.lax.dot_general(
+                kbuf[...], band_ref[ti], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        acc = jnp.concatenate(cols, axis=1)[:, :zoco]
     if fold_occ:
         # occupancy rides as extra row columns [zc : zc+z_in] (free: the
         # one-hot gathers already span the padded lanes). Output occ =
@@ -494,7 +530,17 @@ def fused_pillar_conv(
                 bt = jnp.pad(bt, ((0, 0), (0, 0),
                                   (0, t * cout - bt.shape[2])))
             tile_mats.append(bt)
-        band = jnp.stack(tile_mats, axis=1)  # (kb, ntiles, Tin*Cin, T*Cout)
+        if use_v2 and KPACK:
+            # K-packed layout for the v2 kernel: taps stacked along K
+            # (ntiles, KP, T*Cout), KP 128-padded with zero rows
+            tcp = tin * cin
+            kp = _round_up(kb * tcp, 128)
+            packed = [jnp.pad(bt.reshape(kb * tcp, t * cout),
+                              ((0, kp - kb * tcp), (0, 0)))
+                      for bt in tile_mats]
+            band = jnp.stack(packed, axis=0)
+        else:
+            band = jnp.stack(tile_mats, axis=1)  # (kb, nt, Tin*Cin, TCout)
 
     has_bias = bias is not None
     has_resid = residual is not None
@@ -557,8 +603,12 @@ def fused_pillar_conv(
                 pltpu.VMEM((2, wind, zcp), feats.dtype),
                 pltpu.VMEM((2, wmid, zcp), feats.dtype),
                 pltpu.VMEM((2, wind, zcp), feats.dtype),
-                pltpu.SemaphoreType.DMA((2, 3)),
             ]
+            if tiles is not None and KPACK:
+                t_, tin_, _ = tiles
+                scratch.append(pltpu.VMEM(
+                    (bp, _round_up(kb * tin_ * cin, 128)), feats.dtype))
+            scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
         else:
             body = functools.partial(
                 _fused_kernel, win=wind, bp=bp, kb=kb, zoco=zoco,

@@ -61,23 +61,42 @@ def fetch_overhead():
     return _FETCH
 
 
-def loop_time(make_fn, *args, name="", n=20):
+def loop_time(make_fn, *args, name="", n=20, min_loop_s=1.5, reps=3):
     """make_fn(c, *args) -> scalar float32; c is the carry (forces
-    sequential execution of the n applications)."""
-    @jax.jit
-    def run(*a):
-        def body(i, c):
-            return c + make_fn(c, *a)
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+    sequential execution of the n applications).
 
+    Noise control: the relay fetch overhead is ~30-40 ms with several ms
+    of jitter, so the loop body count is auto-scaled until one timed loop
+    runs >= `min_loop_s`; the per-op time is the min over `reps` runs.
+    (The r3 first-cut probe ran 30x0.2 ms loops — pure fetch jitter.)"""
+    def make_run(nn_):
+        @jax.jit
+        def run(*a):
+            def body(i, c):
+                return c + make_fn(c, *a)
+            return jax.lax.fori_loop(0, nn_, body, jnp.float32(0))
+        return run
+
+    run = make_run(n)
     t0 = time.time()
     float(run(*args))
     first = time.time() - t0
     t0 = time.time()
     float(run(*args))
-    second = time.time() - t0
-    per = (min(first, second) - fetch_overhead()) / n * 1e3
-    log(f"{name}: {per:.2f} ms/op (n={n}, compile+first {first:.1f}s)")
+    per0 = (time.time() - t0 - fetch_overhead()) / n
+    if per0 * n < min_loop_s:
+        n = max(n, int(min_loop_s / max(per0, 1e-5)) + 1)
+        run = make_run(n)
+        t0 = time.time()
+        float(run(*args))
+        first = time.time() - t0
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.time()
+        float(run(*args))
+        best = min(best, time.time() - t0)
+    per = (best - fetch_overhead()) / n * 1e3
+    log(f"{name}: {per:.3f} ms/op (n={n}, compile+first {first:.1f}s)")
     return per
 
 
