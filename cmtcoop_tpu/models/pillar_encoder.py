@@ -71,6 +71,11 @@ class PillarConv(nn.Module):
                     win=self.win, subm=self.subm, **kw)
             # sequential over batch: the kernel saturates the chip per
             # sample, and lax.map keeps pallas_call out from under vmap
+            # (cond guards must stay real branches); at batch 1 call
+            # directly — each length-1 scan costs real dispatch time
+            if args[0].shape[0] == 1:
+                out = one(tuple(a[0] for a in args))
+                return jax.tree.map(lambda o: o[None], out)
             return jax.lax.map(one, tuple(args))
         return jax.vmap(
             lambda f, n: pu.pillar_conv(
@@ -187,6 +192,9 @@ class PillarSparseEncoder(nn.Module):
             # lax.map, not vmap: the exactness guard inside the lookup is a
             # lax.cond that must stay a real branch (vmap -> select would
             # always execute the expensive exact fallback)
+            if g.coords.shape[0] == 1:
+                return pu.pillar_neighbor_map(
+                    pu.PillarGrid(g.coords[0], g.mask[0], g.hw, g.z))[None]
             return jax.lax.map(lambda cm: pu.pillar_neighbor_map(
                 pu.PillarGrid(cm[0], cm[1], g.hw, g.z)),
                 (g.coords, g.mask))
@@ -218,7 +226,12 @@ class PillarSparseEncoder(nn.Module):
                         nb = pu.pillar_conv_neighbor_map(
                             pu.PillarGrid(c, m, g.hw, g.z), og)
                         return og.coords, og.mask, nb
-                    oc, om, nb = jax.lax.map(one, (g.coords, g.mask))
+                    if g.coords.shape[0] == 1:
+                        oc, om, nb = jax.tree.map(
+                            lambda o: o[None],
+                            one((g.coords[0], g.mask[0])))
+                    else:
+                        oc, om, nb = jax.lax.map(one, (g.coords, g.mask))
                     oh = (g.hw[0] + 2 - 3) // 2 + 1
                     ow = (g.hw[1] + 2 - 3) // 2 + 1
                     return pu.PillarGrid(oc, om, (oh, ow), g.z), nb

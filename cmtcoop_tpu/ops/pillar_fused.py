@@ -214,15 +214,24 @@ PADG = 8  # guard rows prepended so the subm shift slices never underflow
 
 def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
                      zoco, subm, has_bias, has_resid, has_occ, relu,
-                     tiles, cin, cout, fold_occ=None):
+                     tiles, cin, cout, fold_occ=None, zwin=None):
     """3x3-BEV conv with per-dy-row windows: the 9 taps split into three
     dy groups whose neighbors each span a SHORT contiguous run of the
     sorted pillar order (measured p99 ~160 rows/group vs ~512 combined), so
     the one-hot gather contracts over win_d instead of the union window.
     For submanifold maps (subm=True) the middle group needs no one-hot at
     all: same-row neighbors are sorted-order adjacency, so g(dx=+/-1) are
-    shifted static slices of the block's own rows, masked by existence."""
+    shifted static slices of the block's own rows, masked by existence.
+
+    With `zwin` (subm only): per-BLOCK z-windowed compute — the DMA
+    lane-slices each window to the block's occupied z range (measured
+    max span 17 of 41 z cells over any 384-row window on calibrated
+    clouds), the band contraction runs window-relative (zwin in/out),
+    and the result is placed back at the absolute z offset. Exact: data
+    outside a block's z window is identically zero (occupancy-masked),
+    and blocks whose span overflows zwin take the fallback path."""
     it = iter(rest)
+    zoff_ref = next(it) if zwin else None
     mask_ref = next(it) if subm else None
     occ_ref = next(it) if has_occ else None
     resid_ref = next(it) if has_resid else None
@@ -237,6 +246,7 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
     buf_mid = next(it)
     buf_hi = next(it)
     kbuf = next(it) if (tiles is not None and KPACK) else None
+    fullbuf = next(it) if zwin else None
     sem = next(it)
 
     blk = pl.program_id(0)
@@ -249,12 +259,17 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
             s1 = pl.multiple_of(b_idx * bp, 8)
         else:
             s1 = pl.multiple_of(starts_ref[b_idx, 1], 8)
+        if zwin:
+            zq = pl.multiple_of(zoff_ref[b_idx] * cin, 128)
+            lanes = pl.ds(zq, zwin * cin)
+        else:
+            lanes = slice(None)
         return [
-            pltpu.make_async_copy(rows_hbm.at[pl.ds(s0, win_d), :],
+            pltpu.make_async_copy(rows_hbm.at[pl.ds(s0, win_d), lanes],
                                   buf_lo.at[slot], sem.at[slot, 0]),
-            pltpu.make_async_copy(rows_hbm.at[pl.ds(s1, win_mid), :],
+            pltpu.make_async_copy(rows_hbm.at[pl.ds(s1, win_mid), lanes],
                                   buf_mid.at[slot], sem.at[slot, 1]),
-            pltpu.make_async_copy(rows_hbm.at[pl.ds(s2, win_d), :],
+            pltpu.make_async_copy(rows_hbm.at[pl.ds(s2, win_d), lanes],
                                   buf_hi.at[slot], sem.at[slot, 2]),
         ]
 
@@ -300,8 +315,10 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
         gs.extend(gather3((3, 4, 5), w_mid))
         gs.extend(gather3((6, 7, 8), w_hi))
 
+    zoco_c = zwin * cout if zwin else zoco  # contraction width
     if tiles is None or not KPACK:
-        acc = _band_contract(gs, band_ref, bp, 9, zoco, tiles, cin, cout)
+        acc = _band_contract(gs, band_ref, bp, 9, zoco_c, tiles, cin,
+                             cout)
     elif True:
         # K-packed tiled band: the 9 taps' tile slices are stored
         # contiguously in K and contracted in ONE (bp, 9*Tin*Cin) matmul
@@ -325,7 +342,14 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
             cols.append(jax.lax.dot_general(
                 kbuf[...], band_ref[ti], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
-        acc = jnp.concatenate(cols, axis=1)[:, :zoco]
+        acc = jnp.concatenate(cols, axis=1)[:, :zoco_c]
+    if zwin:
+        # place the window-relative result back at its absolute z offset
+        # (the rest of the row is exactly zero: occupancy-masked inputs)
+        zq_out = pl.multiple_of(zoff_ref[blk] * cout, 128)
+        fullbuf[...] = jnp.zeros((bp, zoco), jnp.float32)
+        fullbuf[:, pl.ds(zq_out, zwin * cout)] = acc
+        acc = fullbuf[...]
     if fold_occ:
         # occupancy rides as extra row columns [zc : zc+z_in] (free: the
         # one-hot gathers already span the padded lanes). Output occ =
@@ -495,6 +519,48 @@ def fused_pillar_conv(
             struct_bad = jnp.zeros((), bool)
             adj = None
         start, local, overflow = window_plan(win)
+
+        # per-block z-windowed compute (subm only): measured per-block
+        # z spans are <=17 of 41 cells at stage 0 (runs/tpu_probe.log),
+        # so the gathers and band contraction run on a zwin-cell window
+        # at each block's occupied z range; blocks whose span overflows
+        # take the exact fallback. Alignment: zoff quantized so both
+        # zoff*cin and zoff*cout are 128-lane multiples.
+        if (subm and occ_out is not None and not fold_occ
+                and z_stride == 1 and z_out == z_in and z_in >= 16
+                and cin in (16, 32, 64, 128)
+                and cout in (16, 32, 64, 128)):
+            zq_ = max(128 // cin, 128 // cout, 2)
+            zwin_c = _round_up(z_in // 2 + 4, zq_)
+            zwin = zwin_c if zwin_c < z_in else None
+        else:
+            zwin = None
+        if zwin:
+            zidx = jnp.arange(z_in, dtype=jnp.int32)
+            ob = occ_out.astype(bool)
+            zmin_p = jnp.min(jnp.where(ob, zidx[None, :], z_in), axis=1)
+            zmax_p = jnp.max(jnp.where(ob, zidx[None, :], -1), axis=1)
+            # two-stage block reduction (a direct reduce_window with a
+            # ~1.1k window lowers as O(P*window) VPU work): per-block
+            # min/max, then union over the +-2*win/bp neighbor blocks
+            # any window DMA (incl. the 2x retry) can touch
+            bmin = zmin_p.reshape(nb, bp).min(axis=1)
+            bmax = zmax_p.reshape(nb, bp).max(axis=1)
+            r = -(-2 * win // bp)
+            zlo, zhi = bmin, bmax
+            for d in range(1, r + 1):
+                zlo = jnp.minimum(zlo, jnp.roll(bmin, d).at[:d].set(z_in))
+                zlo = jnp.minimum(
+                    zlo, jnp.roll(bmin, -d).at[-d:].set(z_in))
+                zhi = jnp.maximum(zhi, jnp.roll(bmax, d).at[:d].set(-1))
+                zhi = jnp.maximum(
+                    zhi, jnp.roll(bmax, -d).at[-d:].set(-1))
+            zoffs = jnp.clip((zlo - 1) // zq_ * zq_, 0,
+                             z_in - zwin).astype(jnp.int32)
+            z_ovf = jnp.any(zhi > zoffs + (zwin - 2))
+        else:
+            zoffs = None
+            z_ovf = jnp.zeros((), bool)
     else:
         if p_in < win:
             rows = jnp.pad(rows, ((0, win - p_in), (0, 0)))
@@ -508,24 +574,26 @@ def fused_pillar_conv(
         local = jnp.where(valid & in_win, local, win).astype(jnp.int32)
         local = local.reshape(nb * bp, kb)
         adj = None
+        zwin, zoffs, z_ovf = None, None, jnp.zeros((), bool)
 
-    band = band_matrix(weights, z_in, z_out, kz, z_stride, z_pad,
+    z_in_b, z_out_b = (zwin, zwin) if zwin else (z_in, z_out)
+    band = band_matrix(weights, z_in_b, z_out_b, kz, z_stride, z_pad,
                        scale=scale, dtype=feats.dtype)
-    tiles = _tile_plan(z_in, z_out, cin, cout, kz, z_stride, z_pad)
+    tiles = _tile_plan(z_in_b, z_out_b, cin, cout, kz, z_stride, z_pad)
     if tiles is not None:
         t, tin, tstarts = tiles
         tiled_flops = len(tstarts) * tin * cin * t * cout
-        if tiled_flops > 0.7 * zc * zoco:
+        if tiled_flops > 0.7 * (z_in_b * cin) * (z_out_b * cout):
             tiles = None  # banding too dense for tiling to pay off
     if tiles is None:
-        if zcp != zc:
+        if not zwin and zcp != zc:
             band = jnp.pad(band, ((0, 0), (0, zcp - zc), (0, 0)))
     else:
         t, tin, tstarts = tiles
         tile_mats = []
         for ti, s0 in enumerate(tstarts):
             bt = band[:, s0 * cin:(s0 + tin) * cin,
-                      ti * t * cout:min((ti + 1) * t, z_out) * cout]
+                      ti * t * cout:min((ti + 1) * t, z_out_b) * cout]
             if bt.shape[2] < t * cout:  # ragged last tile
                 bt = jnp.pad(bt, ((0, 0), (0, 0),
                                   (0, t * cout - bt.shape[2])))
@@ -553,6 +621,9 @@ def fused_pillar_conv(
                      memory_space=pltpu.VMEM),                    # local idx
     ]
     operands = []
+    if zwin:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(zoffs)
     if use_v2 and subm:
         in_specs.append(pl.BlockSpec((bp, 3), lambda b: (b, 0),
                                      memory_space=pltpu.VMEM))
@@ -598,16 +669,20 @@ def fused_pillar_conv(
                 _fused_kernel_v2, win_d=wind, win_mid=wmid, bp=bp,
                 zoco=zoco, subm=subm, has_bias=has_bias,
                 has_resid=has_resid, has_occ=has_occ, relu=relu,
-                tiles=tiles, cin=cin, cout=cout, fold_occ=fold)
+                tiles=tiles, cin=cin, cout=cout, fold_occ=fold,
+                zwin=zwin)
+            zcp_k = zwin * cin if zwin else zcp
             scratch = [
-                pltpu.VMEM((2, wind, zcp), feats.dtype),
-                pltpu.VMEM((2, wmid, zcp), feats.dtype),
-                pltpu.VMEM((2, wind, zcp), feats.dtype),
+                pltpu.VMEM((2, wind, zcp_k), feats.dtype),
+                pltpu.VMEM((2, wmid, zcp_k), feats.dtype),
+                pltpu.VMEM((2, wind, zcp_k), feats.dtype),
             ]
             if tiles is not None and KPACK:
                 t_, tin_, _ = tiles
                 scratch.append(pltpu.VMEM(
                     (bp, _round_up(kb * tin_ * cin, 128)), feats.dtype))
+            if zwin:
+                scratch.append(pltpu.VMEM((bp, zoco), jnp.float32))
             scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
         else:
             body = functools.partial(
@@ -672,4 +747,9 @@ def fused_pillar_conv(
                 make_kernel(2 * win)(start2, local2, *operands))
         return jax.lax.cond(ovf_wide, slow, fast2, None)
 
-    return jax.lax.cond(overflow, retry, fast, None)
+    def laddered(_):
+        return jax.lax.cond(overflow, retry, fast, None)
+
+    # z-window span overflow (rare; zwin covers measured spans with
+    # margin) goes straight to the exact path
+    return jax.lax.cond(z_ovf, slow, laddered, None)

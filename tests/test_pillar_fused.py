@@ -229,3 +229,47 @@ def test_fold_occ_matches_separate(rng):
                          scale, bias, occ_ref, None, True)
     np.testing.assert_array_equal(np.asarray(occ_got), np.asarray(occ_ref))
     _check(got, ref, tol=2e-4)
+
+
+def test_zwindow_subm_parity(rng):
+    """Per-block z-windowed subm conv (z 41, banded occupancy like a real
+    cloud: all data in a narrow z range) vs the exact reference."""
+    grid, _ = _grid(rng, hw=(32, 32), z=41, p_cap=256, density=0.4)
+    z, c = 41, 16
+    p = grid.coords.shape[0]
+    nbr = pu.pillar_neighbor_map(grid)
+    # occupancy banded per pillar around a slowly varying ground level
+    base = (8 + 6 * rng.uniform(size=p)).astype(np.int32)
+    zidx = np.arange(z)[None, :]
+    occ = (zidx >= base[:, None]) & (zidx < base[:, None] + 5)
+    occ &= rng.uniform(size=(p, z)) < 0.7
+    occ &= np.asarray(grid.mask)[:, None]
+    feats = (rng.normal(size=(p, z, c)) * occ[..., None]).astype(np.float32)
+    w = rng.normal(size=(27, c, c)).astype(np.float32) * 0.1
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    got = fused_pillar_conv(
+        jnp.asarray(feats), nbr, jnp.asarray(w), scale=scale, bias=bias,
+        occ_out=jnp.asarray(occ), relu=True, subm=True, interpret=True)
+    ref = _xla_reference(jnp.asarray(feats), nbr, jnp.asarray(w), 3, 1, 1,
+                         scale, bias, jnp.asarray(occ), None, True)
+    _check(got, ref, tol=2e-4)
+
+
+def test_zwindow_span_overflow_falls_back(rng):
+    """Occupancy spread over the full z range overflows the z window;
+    the runtime guard must route to the exact path."""
+    grid, _ = _grid(rng, hw=(32, 32), z=41, p_cap=256, density=0.4)
+    z, c = 41, 16
+    p = grid.coords.shape[0]
+    nbr = pu.pillar_neighbor_map(grid)
+    occ = rng.uniform(size=(p, z)) < 0.3   # full-z spread: span ~41 > 24
+    occ &= np.asarray(grid.mask)[:, None]
+    feats = (rng.normal(size=(p, z, c)) * occ[..., None]).astype(np.float32)
+    w = rng.normal(size=(27, c, c)).astype(np.float32) * 0.1
+    got = fused_pillar_conv(
+        jnp.asarray(feats), nbr, jnp.asarray(w),
+        occ_out=jnp.asarray(occ), relu=True, subm=True, interpret=True)
+    ref = _xla_reference(jnp.asarray(feats), nbr, jnp.asarray(w), 3, 1, 1,
+                         None, None, jnp.asarray(occ), None, True)
+    _check(got, ref, tol=2e-4)

@@ -36,9 +36,23 @@ def main():
         pu.PillarGrid(c, m, (1440, 1440), 41)))(pc, pm)
     rng = np.random.default_rng(0)
 
+    occ41 = np.asarray(occ)
+
+    def occ_for(z):
+        # real stage-0 occupancy downscaled in z for deeper-stage shapes
+        if z == occ41.shape[1]:
+            return occ41
+        f = occ41.shape[1] / z
+        idx = (np.arange(occ41.shape[1]) / f).astype(int)
+        out = np.zeros((occ41.shape[0], z), bool)
+        np.maximum.at(out.T, idx, occ41.T)
+        return out
+
     def bench_subm(cin, cout, z, name, win=256, bp=128):
         p = pc.shape[0]
+        oz = jnp.asarray(occ_for(z))
         x = jnp.asarray(rng.normal(size=(p, z, cin)) * 0.1, DT)
+        x = x * oz[..., None].astype(DT)
         w = jnp.asarray(rng.normal(size=(27, cin, cout)) * 0.05, DT)
         sc = jnp.asarray(rng.uniform(0.5, 1.5, cout), jnp.float32)
         bi = jnp.asarray(rng.normal(size=cout) * 0.1, jnp.float32)
@@ -46,8 +60,8 @@ def main():
         def f(c, x_, w_):
             o = fused_pillar_conv(
                 x_ + (c * 1e-30).astype(DT), nbr, w_, kz=3, z_stride=1,
-                z_pad=1, scale=sc, bias=bi, relu=True, win=win, subm=True,
-                bp=bp)
+                z_pad=1, scale=sc, bias=bi, occ_out=oz, relu=True,
+                win=win, subm=True, bp=bp)
             return o.astype(jnp.float32).sum() * 1e-20
         loop_time(f, x, w, name=f"  subm {name} z{z} {cin}->{cout} "
                                f"win{win} bp{bp}", n=20)
