@@ -94,8 +94,8 @@ def _tile_plan(z_in, z_out, cin, cout, kz, z_stride, z_pad):
     return t, tin, starts
 
 
-def _fused_kernel(starts_ref, nbrl_ref, *rest, win, bp, kb, zoco,
-                  has_bias, has_resid, has_occ, relu,
+def _fused_kernel(starts_ref, nbrl_ref, blkact_ref, *rest, win, bp, kb,
+                  zoco, has_bias, has_resid, has_occ, relu,
                   tiles=None, cin=None, cout=None):
     it = iter(rest)
     occ_ref = next(it) if has_occ else None
@@ -116,58 +116,37 @@ def _fused_kernel(starts_ref, nbrl_ref, *rest, win, bp, kb, zoco,
         return pltpu.make_async_copy(
             rows_hbm.at[pl.ds(s, win), :], win_buf.at[slot], sem.at[slot])
 
-    @pl.when(blk == 0)
+    act = blkact_ref[blk] != 0
+    nxt = jnp.minimum(blk + 1, nblk - 1)
+    nxt_act = (blk + 1 < nblk) & (blkact_ref[nxt] != 0)
+
+    @pl.when((blk == 0) & act)
     def _():
         dma(0, 0).start()
 
-    @pl.when(blk + 1 < nblk)
+    @pl.when(nxt_act)
     def _():
         dma((blk + 1) % 2, blk + 1).start()
 
-    dma(blk % 2, blk).wait()
-    window = win_buf[blk % 2]  # (win, ZCP)
+    @pl.when(~act)
+    def _():
+        o_ref[...] = jnp.zeros((bp, zoco), o_ref.dtype)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (bp, win), 1)
-    gs = []
-    for j in range(kb):
-        oh = (nbrl_ref[:, j][:, None] == iota).astype(window.dtype)
-        gs.append(jax.lax.dot_general(
-            oh, window, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(window.dtype))
-    if tiles is None:
-        acc = jnp.zeros((bp, zoco), jnp.float32)
+    @pl.when(act)
+    def _():
+        dma(blk % 2, blk).wait()
+        window = win_buf[blk % 2]  # (win, ZCP)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (bp, win), 1)
+        gs = []
         for j in range(kb):
-            acc = acc + jax.lax.dot_general(
-                gs[j], band_ref[j], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    else:
-        # z-tiled band: contract only the nonzero diagonal band, one
-        # (bp, Tin*Cin) @ (Tin*Cin, T*Cout) matmul per tap per tile
-        t, tin, tstarts = tiles
-        cols = []
-        for ti, s0 in enumerate(tstarts):
-            a = jnp.zeros((bp, t * cout), jnp.float32)
-            lo = s0 * cin
-            for j in range(kb):
-                a = a + jax.lax.dot_general(
-                    gs[j][:, lo:lo + tin * cin], band_ref[j, ti],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            cols.append(a)
-        acc = jnp.concatenate(cols, axis=1)[:, :zoco]
-
-    if has_bias:
-        acc = acc + bias_ref[0][None, :].astype(jnp.float32)
-    if has_resid:
-        acc = acc + resid_ref[...].astype(jnp.float32)
-    if relu:
-        acc = jnp.maximum(acc, 0.0)
-    if has_occ:
-        occx = jax.lax.dot_general(
-            occ_ref[...].astype(e_ref.dtype), e_ref[...],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        acc = acc * occx
-    o_ref[...] = acc.astype(o_ref.dtype)
+            oh = (nbrl_ref[:, j][:, None] == iota).astype(window.dtype)
+            gs.append(jax.lax.dot_general(
+                oh, window, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(window.dtype))
+        acc = _band_contract(gs, band_ref, bp, kb, zoco, tiles, cin, cout)
+        _epilogue(acc, bias_ref, resid_ref, occ_ref, e_ref, relu,
+                  has_bias, has_resid, has_occ, o_ref)
 
 
 def _band_contract(gs, band_ref, bp, kb, zoco, tiles, cin, cout):
@@ -212,9 +191,10 @@ def _epilogue(acc, bias_ref, resid_ref, occ_ref, e_ref, relu,
 PADG = 8  # guard rows prepended so the subm shift slices never underflow
 
 
-def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
-                     zoco, subm, has_bias, has_resid, has_occ, relu,
-                     tiles, cin, cout, fold_occ=None, zwin=None):
+def _fused_kernel_v2(starts_ref, nbrl_ref, blkact_ref, *rest, win_d,
+                     win_mid, bp, zoco, subm, has_bias, has_resid,
+                     has_occ, relu, tiles, cin, cout, fold_occ=None,
+                     zwin=None):
     """3x3-BEV conv with per-dy-row windows: the 9 taps split into three
     dy groups whose neighbors each span a SHORT contiguous run of the
     sorted pillar order (measured p99 ~160 rows/group vs ~512 combined), so
@@ -229,7 +209,13 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
     clouds), the band contraction runs window-relative (zwin in/out),
     and the result is placed back at the absolute z offset. Exact: data
     outside a block's z window is identically zero (occupancy-masked),
-    and blocks whose span overflows zwin take the fallback path."""
+    and blocks whose span overflows zwin take the fallback path.
+
+    `blkact_ref` (SMEM, nb int32) marks blocks with any live output site
+    (occupied pillar / valid tap). Dead blocks — the ~20% cap margin over
+    real occupancy plus the invalid-pillar tail — skip their window DMAs,
+    gathers, and band contraction and just write zeros, which is exact
+    because the epilogue multiplies by (all-zero) occupancy anyway."""
     it = iter(rest)
     zoff_ref = next(it) if zwin else None
     mask_ref = next(it) if subm else None
@@ -248,6 +234,9 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
     kbuf = next(it) if (tiles is not None and KPACK) else None
     fullbuf = next(it) if zwin else None
     sem = next(it)
+    rest_refs = (zoff_ref, mask_ref, occ_ref, resid_ref, bias_ref, e_ref,
+                 s_ref, rows_hbm, band_ref, o_ref, occ_o_ref, buf_lo,
+                 buf_mid, buf_hi, kbuf, fullbuf, sem)
 
     blk = pl.program_id(0)
     nblk = pl.num_programs(0)
@@ -273,15 +262,43 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
                                   buf_hi.at[slot], sem.at[slot, 2]),
         ]
 
-    @pl.when(blk == 0)
+    act = blkact_ref[blk] != 0
+    nxt = jnp.minimum(blk + 1, nblk - 1)
+    nxt_act = (blk + 1 < nblk) & (blkact_ref[nxt] != 0)
+
+    @pl.when((blk == 0) & act)
     def _():
         for cp in dmas(0, 0):
             cp.start()
 
-    @pl.when(blk + 1 < nblk)
+    @pl.when(nxt_act)
     def _():
         for cp in dmas((blk + 1) % 2, blk + 1):
             cp.start()
+
+    @pl.when(~act)
+    def _():
+        o_ref[...] = jnp.zeros((bp, zoco), o_ref.dtype)
+        if fold_occ:
+            occ_o_ref[...] = jnp.zeros(
+                occ_o_ref.shape[-2:], occ_o_ref.dtype)
+
+    @pl.when(act)
+    def _compute():
+        _fused_v2_compute(
+            starts_ref, nbrl_ref, rest_refs, blk=blk, win_d=win_d,
+            win_mid=win_mid, bp=bp, zoco=zoco, subm=subm,
+            has_bias=has_bias, has_resid=has_resid, has_occ=has_occ,
+            relu=relu, tiles=tiles, cin=cin, cout=cout, fold_occ=fold_occ,
+            zwin=zwin, dmas=dmas)
+
+
+def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
+                      bp, zoco, subm, has_bias, has_resid, has_occ, relu,
+                      tiles, cin, cout, fold_occ, zwin, dmas):
+    (zoff_ref, mask_ref, occ_ref, resid_ref, bias_ref, e_ref, s_ref,
+     rows_hbm, band_ref, o_ref, occ_o_ref, buf_lo, buf_mid, buf_hi,
+     kbuf, fullbuf, sem) = refs
 
     for cp in dmas(blk % 2, blk):
         cp.wait()
@@ -330,10 +347,10 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, *rest, win_d, win_mid, bp,
         tcp = tin * cin
         kp = kbuf.shape[1]
         if kp > 9 * tcp:
-            @pl.when(pl.program_id(0) == 0)
-            def _():
-                kbuf[:, 9 * tcp:] = jnp.zeros(
-                    (bp, kp - 9 * tcp), kbuf.dtype)
+            # unconditional per-block NaN-guard zero (block 0 may be
+            # skipped by the dead-block gate, so "once at block 0" can't
+            # be relied on; the pad store is tiny)
+            kbuf[:, 9 * tcp:] = jnp.zeros((bp, kp - 9 * tcp), kbuf.dtype)
         cols = []
         for ti, s0 in enumerate(tstarts):
             lo = s0 * cin
@@ -473,6 +490,17 @@ def fused_pillar_conv(
         rows = jnp.pad(rows, ((0, 0), (0, zcp - rows.shape[1])))
 
     nblk = nbr.reshape(nb, bp, kb)
+    # dead-block gate: a block whose output sites are all unoccupied (or,
+    # for fold_occ, whose taps are all misses) produces exact zeros through
+    # the occupancy epilogue — skip its DMAs and matmuls in-kernel. The
+    # pillar caps carry ~20% margin over real occupancy plus the invalid
+    # tail, so this recovers the margin cost at full caps.
+    if occ_out is not None:
+        blk_act = occ_out.astype(bool).reshape(nb, bp, -1).any(axis=(1, 2))
+    elif fold_occ:
+        blk_act = (nblk < p_in).any(axis=(1, 2))
+    else:
+        blk_act = jnp.ones((nb,), bool)
     if use_v2:
         win_mid = bp + 2 * PADG if subm else win
         # padded row space: PADG zero guard rows + tail so any window read
@@ -488,7 +516,8 @@ def fused_pillar_conv(
             gstart = (jnp.clip(gmin, 0, p_in) // 8 * 8).astype(jnp.int32)
             loc = vals - gstart[:, None, None]
             inw = gvalid & (loc >= 0) & (loc < wind)
-            ovf = jnp.any(gvalid & ~inw)
+            # dead blocks never execute: their taps can't overflow
+            ovf = jnp.any((gvalid & ~inw) & blk_act[:, None, None])
             return (gstart + PADG, jnp.where(inw, loc, wind).astype(
                 jnp.int32), ovf)
 
@@ -557,7 +586,7 @@ def fused_pillar_conv(
                     zhi, jnp.roll(bmax, -d).at[-d:].set(-1))
             zoffs = jnp.clip((zlo - 1) // zq_ * zq_, 0,
                              z_in - zwin).astype(jnp.int32)
-            z_ovf = jnp.any(zhi > zoffs + (zwin - 2))
+            z_ovf = jnp.any(blk_act & (zhi > zoffs + (zwin - 2)))
         else:
             zoffs = None
             z_ovf = jnp.zeros((), bool)
@@ -570,7 +599,7 @@ def fused_pillar_conv(
             jnp.int32)
         local = nblk - start[:, None, None]
         in_win = (local >= 0) & (local < win)
-        overflow = jnp.any(valid & ~in_win)
+        overflow = jnp.any((valid & ~in_win) & blk_act[:, None, None])
         local = jnp.where(valid & in_win, local, win).astype(jnp.int32)
         local = local.reshape(nb * bp, kb)
         adj = None
@@ -619,8 +648,9 @@ def fused_pillar_conv(
         pl.BlockSpec(memory_space=pltpu.SMEM),                    # starts
         pl.BlockSpec((bp, n_loc), lambda b: (b, 0),
                      memory_space=pltpu.VMEM),                    # local idx
+        pl.BlockSpec(memory_space=pltpu.SMEM),                    # blk act
     ]
-    operands = []
+    operands = [blk_act.astype(jnp.int32)]
     if zwin:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(zoffs)

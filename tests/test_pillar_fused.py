@@ -273,3 +273,49 @@ def test_zwindow_span_overflow_falls_back(rng):
     ref = _xla_reference(jnp.asarray(feats), nbr, jnp.asarray(w), 3, 1, 1,
                          None, None, jnp.asarray(occ), None, True)
     _check(got, ref, tol=2e-4)
+
+
+def test_dead_block_skip_parity(rng):
+    """Blocks whose output sites are all unoccupied (the cap margin /
+    invalid tail) are skipped in-kernel and must come out exactly zero;
+    live blocks must be untouched by the gate."""
+    grid, n = _grid(rng, hw=(24, 24), z=8, p_cap=512, density=0.35)
+    assert n < 256, n  # at bp=128: blocks 2/3 fully dead
+    z, c, co = grid.z, 4, 4
+    p = grid.coords.shape[0]
+    nbr = pu.pillar_neighbor_map(grid)
+    occ = rng.uniform(size=(p, z)) < 0.6
+    occ &= np.asarray(grid.mask)[:, None]
+    feats = (rng.normal(size=(p, z, c)) * occ[..., None]).astype(np.float32)
+    w = rng.normal(size=(27, c, co)).astype(np.float32) * 0.3
+    bias = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+    got = fused_pillar_conv(
+        jnp.asarray(feats), nbr, jnp.asarray(w), bias=bias,
+        occ_out=jnp.asarray(occ), relu=True, subm=True, interpret=True)
+    ref = _xla_reference(jnp.asarray(feats), nbr, jnp.asarray(w), 3, 1, 1,
+                         None, bias, jnp.asarray(occ), None, True)
+    _check(got, ref, tol=2e-4)
+    # dead tail rows must be EXACT zeros (skipped blocks write zeros)
+    np.testing.assert_array_equal(
+        np.asarray(got)[256:], np.zeros_like(np.asarray(got)[256:]))
+
+
+def test_dead_block_skip_fold_occ(rng):
+    """fold_occ path: blocks with no valid tap skip and emit zero occ."""
+    grid, n = _grid(rng, hw=(24, 24), z=8, p_cap=512, density=0.35)
+    z, c, co = grid.z, 4, 4
+    p = grid.coords.shape[0]
+    occ = rng.uniform(size=(p, z)) < 0.6
+    occ &= np.asarray(grid.mask)[:, None]
+    feats = (rng.normal(size=(p, z, c)) * occ[..., None]).astype(np.float32)
+    og = pu.pillar_downsample_grid(grid, p)
+    nbr = pu.pillar_conv_neighbor_map(grid, og)
+    w = rng.normal(size=(27, c, co)).astype(np.float32) * 0.3
+    got, occ_got = fused_pillar_conv(
+        jnp.asarray(feats), nbr, jnp.asarray(w), z_stride=2, relu=True,
+        occ_in=jnp.asarray(occ), fold_occ=True, interpret=True)
+    occ_ref = pu.occ_downsample(jnp.asarray(occ), nbr, 3, 2, 1)
+    ref = _xla_reference(jnp.asarray(feats), nbr, jnp.asarray(w), 3, 2, 1,
+                         None, None, occ_ref, None, True)
+    np.testing.assert_array_equal(np.asarray(occ_got), np.asarray(occ_ref))
+    _check(got, ref, tol=2e-4)
