@@ -18,8 +18,13 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from cmtcoop_tpu.models.layers import FFN
-from cmtcoop_tpu.ops.attention import attend
+from cmtcoop_tpu.ops.attention import (NEG_INF, attend,
+                                       flash_attention_packed)
+
+PACKED_BLOCK_K = 1024  # decoder KV padding granularity (eval flash path)
 
 
 class MultiheadAttention(nn.Module):
@@ -56,10 +61,32 @@ class MultiheadAttention(nn.Module):
         def split(x):
             return x.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)
 
+        nk = k.shape[1]
+        drop = self.attn_dropout if self.train_mode else 0.0
+        # head-packed eval flash: skip the (B,H,N,Dh) split transposes of
+        # the ~45k-token KV entirely (the kernel lane-slices heads out of
+        # the projection outputs). Requires pre-padded KV (the decoder
+        # pads once, outside its layer loop) and no mask/dropout.
+        if (self.impl == "auto" and bias is None and drop == 0.0
+                and not self.train_mode and nk >= 4096
+                and nk % PACKED_BLOCK_K == 0
+                and jax.default_backend() == "tpu"):
+            qd = nn.Dense(c, dtype=self.dtype, name="q_proj")(q)
+            kd = nn.Dense(c, dtype=self.dtype, name="k_proj")(k)
+            vd = nn.Dense(c, dtype=self.dtype, name="v_proj")(v)
+            if k_bias is None:
+                k_bias = jnp.zeros((b, nk), jnp.float32)
+            pad_q = (-nq) % 512
+            if pad_q:
+                qd = jnp.pad(qd, ((0, 0), (0, pad_q), (0, 0)))
+            out = flash_attention_packed(
+                qd, kd, vd, k_bias, h, block_q=512,
+                block_k=PACKED_BLOCK_K)[:, :nq]
+            return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+
         qh = split(nn.Dense(c, dtype=self.dtype, name="q_proj")(q))
         kh = split(nn.Dense(c, dtype=self.dtype, name="k_proj")(k))
         vh = split(nn.Dense(c, dtype=self.dtype, name="v_proj")(v))
-        drop = self.attn_dropout if self.train_mode else 0.0
         if self.impl == "kv_shard":
             from cmtcoop_tpu.parallel.kv_shard import (
                 kv_sharded_attention, pad_kv_for_shards)
@@ -99,7 +126,7 @@ class PETRDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, query, memory, query_pos, memory_pos,
-                 self_attn_bias, memory_k_bias):
+                 self_attn_bias, memory_k_bias, memory_pe=None):
         train = self.train_mode
         # --- self attention (DN mask as additive bias) ---
         identity = query
@@ -114,7 +141,10 @@ class PETRDecoderLayer(nn.Module):
         # --- cross attention over the fused token memory ---
         identity = query
         q = query + query_pos
-        k = memory + memory_pos
+        # memory_pe = memory + memory_pos, hoisted out of the 6-layer loop
+        # by the decoder (the sum is layer-invariant; only the projections
+        # differ per layer)
+        k = memory + memory_pos if memory_pe is None else memory_pe
         out = MultiheadAttention(
             self.embed_dims, self.num_heads, self.cross_impl,
             attn_dropout=self.dropout, train_mode=train,
@@ -154,6 +184,21 @@ class PETRTransformerDecoder(nn.Module):
             # per-layer rematerialization = the reference's with_cp
             # (petr_transformer.py:463-474)
             layer_cls = nn.remat(PETRDecoderLayer)
+        # hoist the layer-invariant memory work out of the loop: the PE
+        # add, and (for the eval flash path) the KV padding to the flash
+        # block size — zero-padded keys are masked via NEG_INF k_bias, so
+        # projecting the pad rows is exact
+        memory_pe = memory + memory_pos
+        b, nk = memory.shape[0], memory.shape[1]
+        pad_k = (-nk) % PACKED_BLOCK_K
+        if (pad_k and not self.train_mode and self.cross_impl == "auto"
+                and nk >= 4096 and jax.default_backend() == "tpu"):
+            memory = jnp.pad(memory, ((0, 0), (0, pad_k), (0, 0)))
+            memory_pe = jnp.pad(memory_pe, ((0, 0), (0, pad_k), (0, 0)))
+            if memory_k_bias is None:
+                memory_k_bias = jnp.zeros((b, nk), jnp.float32)
+            memory_k_bias = jnp.pad(memory_k_bias, ((0, 0), (0, pad_k)),
+                                    constant_values=NEG_INF)
         intermediates = []
         for i in range(self.num_layers):
             query = layer_cls(
@@ -162,6 +207,6 @@ class PETRTransformerDecoder(nn.Module):
                 self.kv_shard_mesh, self.kv_shard_axis, self.dtype,
                 name=f"layer{i}")(
                     query, memory, query_pos, memory_pos, self_attn_bias,
-                    memory_k_bias)
+                    memory_k_bias, memory_pe)
             intermediates.append(post_norm(query))
         return jnp.stack(intermediates, axis=0)

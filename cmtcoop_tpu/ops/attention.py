@@ -163,6 +163,101 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
     return res.reshape(b, h, nq, d)
 
 
+def _flash_kernel_packed(q_ref, k_ref, v_ref, kmask_ref, o_ref,
+                         m_scr, l_scr, acc_scr, *, sm_scale, gh, dh):
+    """Head-packed variant: grid (b, head_group, nq_b, nk_b). Each block
+    carries a 128-lane group of `gh` heads sliced straight out of the
+    (B, N, H*Dh) projection outputs (Pallas requires 128-divisible lane
+    blocks), so no (B,H,N,Dh) transpose/copy of the ~45k-token KV is ever
+    materialized. Per head: the same online softmax as `_flash_kernel`,
+    with running (m, l) in per-head scratch columns."""
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    kmask = kmask_ref[0, 0][None, :]
+    for s in range(gh):
+        sl = slice(s * dh, (s + 1) * dh)
+        q = q_ref[0, :, sl].astype(jnp.float32)
+        k = k_ref[0, :, sl].astype(jnp.float32)
+        v = v_ref[0, :, sl].astype(jnp.float32)
+        sm = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale + kmask
+        m_prev = m_scr[:, s:s + 1]
+        m_cur = jnp.max(sm, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(sm - m_new)
+        l_scr[:, s:s + 1] = (alpha * l_scr[:, s:s + 1]
+                             + jnp.sum(p, axis=-1, keepdims=True))
+        acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:, s:s + 1] = m_new
+
+    @pl.when(kv_idx == pl.num_programs(3) - 1)
+    def _():
+        for s in range(gh):
+            sl = slice(s * dh, (s + 1) * dh)
+            o_ref[0, :, sl] = (
+                acc_scr[:, sl]
+                / jnp.maximum(l_scr[:, s:s + 1], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_q", "block_k", "interpret"))
+def flash_attention_packed(q, k, v, k_bias, num_heads: int,
+                           block_q: int = 512, block_k: int = 1024,
+                           interpret: bool = False):
+    """Flash attention on head-PACKED layouts: q (B, Nq, H*Dh),
+    k/v (B, Nk, H*Dh), k_bias (B, Nk) additive. Returns (B, Nq, H*Dh).
+
+    Eliminates the (B,H,N,Dh) split transposes of the standard entry —
+    at the decoder's ~45k-token KV those copies cost more than the
+    attention math saved. Eval path only (no VJP; training routes through
+    `attend`). Nq/Nk must be multiples of block_q/block_k (the decoder
+    hoists the padding out of its 6-layer loop); head groups of 128 lanes
+    require c % 128 == 0 and 128 % dh == 0."""
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    dh = c // num_heads
+    assert c % num_heads == 0 and c % 128 == 0 and 128 % dh == 0, (
+        c, num_heads)
+    assert nq % block_q == 0 and nk % block_k == 0, (nq, nk)
+    gh = 128 // dh
+    biasr = k_bias.reshape(b, 1, nk).astype(jnp.float32)
+    grid = (b, c // 128, nq // block_q, nk // block_k)
+    return pl.pallas_call(
+        functools.partial(_flash_kernel_packed,
+                          sm_scale=1.0 / math.sqrt(dh), gh=gh, dh=dh),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda b_, g, i, j: (b_, i, g)),
+            pl.BlockSpec((1, block_k, 128), lambda b_, g, i, j: (b_, j, g)),
+            pl.BlockSpec((1, block_k, 128), lambda b_, g, i, j: (b_, j, g)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, g, i, j: (b_, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 128),
+                               lambda b_, g, i, j: (b_, i, g)),
+        out_shape=jax.ShapeDtypeStruct((b, nq, c), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, gh), jnp.float32),
+            pltpu.VMEM((block_q, gh), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(q, k, v, biasr)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_attention_diff(q, k, v, k_bias, block_q: int = 128,
                          block_k: int = 1024, interpret: bool = False):

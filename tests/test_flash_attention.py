@@ -83,3 +83,26 @@ def test_flash_grad_matches_xla(rng):
     # padded keys receive zero gradient
     assert float(jnp.abs(gf[1][:, :, 400:]).max()) < 1e-6
     assert float(jnp.abs(gf[2][:, :, 400:]).max()) < 1e-6
+
+
+def test_flash_packed_matches_reference(rng):
+    """Head-packed layout (B, N, H*Dh) kernel vs the split-layout oracle,
+    with masked KV padding rows."""
+    b, h, dh, nq, nk = 2, 4, 32, 256, 1024
+    c = h * dh
+    q = jnp.asarray(rng.normal(size=(b, nq, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, nk, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, nk, c)).astype(np.float32))
+    kb = np.zeros((b, nk), np.float32)
+    kb[:, -100:] = A.NEG_INF  # padding tail
+    out = A.flash_attention_packed(
+        q, k, v, jnp.asarray(kb), h, block_q=128, block_k=256,
+        interpret=True)
+
+    def split(x):
+        return x.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)
+    ref = A.mha_reference(split(q), split(k), split(v),
+                          jnp.asarray(kb)[:, None, None, :])
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, nq, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
