@@ -24,7 +24,8 @@ from cmtcoop_tpu.models.layers import FFN
 from cmtcoop_tpu.ops.attention import (NEG_INF, attend,
                                        flash_attention_packed)
 
-PACKED_BLOCK_K = 1024  # decoder KV padding granularity (eval flash path)
+PACKED_BLOCK_K = 2048  # decoder KV padding / flash block_k (eval path;
+#                        measured 1.23 ms vs 1.62 at bk1024, bench shape)
 
 
 class MultiheadAttention(nn.Module):

@@ -172,7 +172,11 @@ class PillarSparseEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_feats, coords, mask, train: bool = False,
-                 prebuilt=None):
+                 prebuilt=None, debug_stop: str = ""):
+        """`debug_stop` (probing only): return raw pillar features early —
+        "maps" (after stage-0 neighbor maps), "input" (after conv_input),
+        "s{i}" (after stage i incl. its downsample), "conv_out" (before
+        the dense scatter). Empty = full forward."""
         d, h, w = self.sparse_shape
 
         if prebuilt is not None:
@@ -200,9 +204,13 @@ class PillarSparseEncoder(nn.Module):
                 (g.coords, g.mask))
 
         nbr = vnbr(grid)
+        if debug_stop == "maps":
+            return x + nbr.sum().astype(x.dtype) * 0
         x = PillarConvBlock(self.base_channels, 27, 3, 1, 1, self.dtype,
                             win=self.subm_wins[0], subm=True,
                             name="conv_input")(x, nbr, occ, train)
+        if debug_stop == "input":
+            return x
 
         down_zpads = [1, 1, 0]
         n_stages = len(self.encoder_channels)
@@ -252,6 +260,8 @@ class PillarSparseEncoder(nn.Module):
                     x = blk(x, nbr_dn, occ_new, train)
                 grid, occ = out_grid, occ_new
                 nbr = vnbr(grid)
+            if debug_stop == f"s{i}":
+                return x
 
         # conv_out: kernel (3,1,1), stride (2,1,1), pad 0 — BEV identity map
         p = grid.coords.shape[1]
@@ -262,6 +272,8 @@ class PillarSparseEncoder(nn.Module):
             lambda o, n: pu.occ_downsample(o, n, 3, 2, 0))(occ, ident)
         x = PillarConvBlock(self.output_channels, 3, 3, 2, 0, self.dtype,
                             name="conv_out")(x, ident, occ_out, train)
+        if debug_stop == "conv_out":
+            return x
 
         dense = jax.vmap(
             lambda c, m, f: pu.pillars_to_dense(

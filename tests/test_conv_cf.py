@@ -103,6 +103,7 @@ def test_lane_mask():
     assert grid[:5, :10].all() and grid[5:].sum() == 0
 
 
+@pytest.mark.slow
 def test_vovnet_cf_matches_flax():
     from cmtcoop_tpu.models.vovnet import VoVNet
     from cmtcoop_tpu.models.vovnet_cf import vovnet_cf

@@ -63,6 +63,7 @@ def _lidar_batch(rng, b=2, n=256, g=4):
     return batch
 
 
+@pytest.mark.slow
 def test_lidar_detector_eval(rng):
     det = CmtDetector(
         use_camera=False, extractor_kwargs=TINY_EXTRACTOR,
@@ -81,6 +82,7 @@ def test_lidar_detector_eval(rng):
             assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow
 def test_lidar_detector_train_loss(rng):
     det = CmtDetector(
         use_camera=False, extractor_kwargs=TINY_EXTRACTOR,
@@ -157,6 +159,7 @@ def test_coop_camera_only_detector(rng):
             assert np.isfinite(np.asarray(val)).all()
 
 
+@pytest.mark.slow
 def test_lidar_agent_max_fusion_matches_manual(rng):
     """Coop max fusion: with identical agents the fused output equals the
     single-agent output (max(x, x) == x)."""

@@ -1,4 +1,5 @@
 """Pillar-dense encoder vs gather encoder: same params, same function."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,7 @@ def _voxels(rng, b=2, v=96, n_active=60):
     return jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(mask)
 
 
+@pytest.mark.slow
 def test_pillar_matches_gather_encoder(rng):
     feats, coords, mask = _voxels(rng)
     ref = SparseEncoder(stage_caps=(512, 512, 512, 512), **CFG)
@@ -43,6 +45,7 @@ def test_pillar_matches_gather_encoder(rng):
         np.asarray(out_fast), np.asarray(out_ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pillar_param_tree_matches(rng):
     feats, coords, mask = _voxels(rng, b=1)
     ref = SparseEncoder(stage_caps=(96,) * 4, **CFG)

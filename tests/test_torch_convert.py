@@ -149,6 +149,7 @@ def _fake_sd(rng):
     return sd
 
 
+@pytest.mark.slow
 def test_convert_covers_model_tree(rng):
     sd = _fake_sd(rng)
     params, stats, unused = convert_state_dict(
