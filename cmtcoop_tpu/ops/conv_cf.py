@@ -256,8 +256,10 @@ def conv3x3_cf(
     )(*operands)
 
 
-def _agg_kernel(*refs, nparts, cout, rt, wp, h, w, tl, nb):
-    """refs = [w0..w{n-1}, sb, part0..part{n-1}, out, gap, gap_acc]."""
+def _agg_kernel(*refs, nparts, cout, rt, wp, h, w, tl, nb, nb_data):
+    """refs = [w0..w{n-1}, sb, part0..part{n-1}, out, gap, gap_acc].
+    Blocks past `nb_data` cover only zero-pad rows: write zeros, skip the
+    matmuls (at stage-4 shapes 2 of 12 blocks are pure pad)."""
     wrefs = refs[:nparts]
     sb_ref = refs[nparts]
     parts = refs[nparts + 1:nparts + 1 + nparts]
@@ -265,32 +267,38 @@ def _agg_kernel(*refs, nparts, cout, rt, wp, h, w, tl, nb):
     gap_ref = refs[nparts + 2 + nparts]
     gap_acc = refs[nparts + 3 + nparts]
     b = pl.program_id(1)
-
-    acc = jnp.zeros((cout, tl), jnp.float32)
-    for wr, pr in zip(wrefs, parts):
-        acc += jax.lax.dot_general(
-            wr[...], pr[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    y = jnp.maximum(acc + sb_ref[0][:, None], 0.0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, tl), 1)
     rows_per = tl // wp
-    ok = ((col % wp < w) &
-          (col // wp + b * rows_per < h)).astype(jnp.float32)
-    y = y * ok
-    o_ref[0] = y.astype(o_ref.dtype)
-    part_sum = jnp.sum(y, axis=1)[None, :]
 
-    @pl.when(b == 0)
+    @pl.when(b >= nb_data)
     def _():
-        gap_acc[...] = part_sum
+        o_ref[0] = jnp.zeros((cout, tl), o_ref.dtype)
 
-    @pl.when(b > 0)
+    @pl.when(b < nb_data)
     def _():
-        gap_acc[...] = gap_acc[...] + part_sum
+        acc = jnp.zeros((cout, tl), jnp.float32)
+        for wr, pr in zip(wrefs, parts):
+            acc += jax.lax.dot_general(
+                wr[...], pr[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        y = jnp.maximum(acc + sb_ref[0][:, None], 0.0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, tl), 1)
+        ok = ((col % wp < w) &
+              (col // wp + b * rows_per < h)).astype(jnp.float32)
+        y = y * ok
+        o_ref[0] = y.astype(o_ref.dtype)
+        part_sum = jnp.sum(y, axis=1)[None, :]
 
-    @pl.when(b == nb - 1)
-    def _():
-        gap_ref[0] = gap_acc[...]
+        @pl.when(b == 0)
+        def _():
+            gap_acc[...] = part_sum
+
+        @pl.when(b > 0)
+        def _():
+            gap_acc[...] = gap_acc[...] + part_sum
+
+        @pl.when(b == nb_data - 1)
+        def _():
+            gap_ref[0] = gap_acc[...]
 
 
 def osa_agg_cf(parts, weights, scale, bias, h, w, rt: int = 8,
@@ -320,6 +328,7 @@ def osa_agg_cf(parts, weights, scale, bias, h, w, rt: int = 8,
         tl //= 2  # floor 4*wp keeps tl a 128-lane multiple (wp % 32 == 0)
     assert nl % tl == 0 and tl % 128 == 0, (nl, tl, wp)
     nb = nl // tl
+    nb_data = -(-h * wp // tl)  # blocks containing any real row
 
     wks = []
     off = 0
@@ -338,7 +347,8 @@ def osa_agg_cf(parts, weights, scale, bias, h, w, rt: int = 8,
 
     out, gap = pl.pallas_call(
         functools.partial(_agg_kernel, nparts=len(parts), cout=cout,
-                          rt=rt, wp=wp, h=h, w=w, tl=tl, nb=nb),
+                          rt=rt, wp=wp, h=h, w=w, tl=tl, nb=nb,
+                          nb_data=nb_data),
         grid=(v, nb),
         in_specs=in_specs,
         out_specs=[
