@@ -37,10 +37,12 @@ class PillarConv(nn.Module):
     @nn.compact
     def __call__(self, feats, nbr, scale=None, bias=None, occ_out=None,
                  residual=None, relu: bool = False, fused: bool = False,
-                 occ_in=None, fold_occ: bool = False):
+                 occ_in=None, fold_occ: bool = False,
+                 packed_shape=None, emit_occ_lanes: bool = False):
+        cin = packed_shape[1] if packed_shape else feats.shape[-1]
         w = self.param(
             "kernel", _conv_init,
-            (self.kernel_volume, feats.shape[-1], self.features),
+            (self.kernel_volume, cin, self.features),
             jnp.float32)
         if fused:
             has_occ = occ_out is not None
@@ -68,7 +70,9 @@ class PillarConv(nn.Module):
                 return fused_pillar_conv(
                     a[0], a[1], w, kz=self.kz, z_stride=self.z_stride,
                     z_pad=self.z_pad, scale=scale, bias=bias, relu=relu,
-                    win=self.win, subm=self.subm, **kw)
+                    win=self.win, subm=self.subm,
+                    packed_shape=packed_shape,
+                    emit_occ_lanes=emit_occ_lanes, **kw)
             # sequential over batch: the kernel saturates the chip per
             # sample, and lax.map keeps pallas_call out from under vmap
             # (cond guards must stay real branches); at batch 1 call
@@ -102,7 +106,8 @@ class PillarConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats, nbr, occ_out, train: bool = False,
-                 occ_in=None, fold_occ: bool = False):
+                 occ_in=None, fold_occ: bool = False,
+                 packed_shape=None, emit_occ_lanes: bool = False):
         conv = PillarConv(self.features, self.kernel_volume, self.kz,
                           self.z_stride, self.z_pad, self.dtype,
                           win=self.win, subm=self.subm, name="conv")
@@ -112,9 +117,12 @@ class PillarConvBlock(nn.Module):
             if fold_occ:
                 # (x, occ_out) with occupancy computed in-kernel
                 return conv(feats, nbr, scale=s, bias=b, relu=True,
-                            fused=True, occ_in=occ_in, fold_occ=True)
+                            fused=True, occ_in=occ_in, fold_occ=True,
+                            packed_shape=packed_shape,
+                            emit_occ_lanes=emit_occ_lanes)
             return conv(feats, nbr, scale=s, bias=b, occ_out=occ_out,
-                        relu=True, fused=True)
+                        relu=True, fused=True, packed_shape=packed_shape,
+                        emit_occ_lanes=emit_occ_lanes)
         x = conv(feats, nbr)
         x = bn(x, occ_out, train)
         return nn.relu(x) * occ_out[..., None]
@@ -127,7 +135,8 @@ class PillarBasicBlock(nn.Module):
     win: int = 256
 
     @nn.compact
-    def __call__(self, feats, nbr, occ, train: bool = False):
+    def __call__(self, feats, nbr, occ, train: bool = False,
+                 packed_shape=None, emit_occ_lanes: bool = False):
         identity = feats
         conv1 = PillarConv(self.features, 27, 3, 1, 1, self.dtype,
                            win=self.win, subm=True, name="conv1")
@@ -139,9 +148,11 @@ class PillarBasicBlock(nn.Module):
             s1, b1 = bn1(jnp.zeros((1, self.features)), fold=True)
             s2, b2 = bn2(jnp.zeros((1, self.features)), fold=True)
             x = conv1(feats, nbr, scale=s1, bias=b1, occ_out=occ,
-                      relu=True, fused=True)
+                      relu=True, fused=True, packed_shape=packed_shape)
             return conv2(x, nbr, scale=s2, bias=b2, occ_out=occ,
-                         residual=identity, relu=True, fused=True)
+                         residual=identity, relu=True, fused=True,
+                         packed_shape=packed_shape,
+                         emit_occ_lanes=emit_occ_lanes)
         x = conv1(feats, nbr)
         x = bn1(x, occ, train)
         x = nn.relu(x)
@@ -168,6 +179,9 @@ class PillarSparseEncoder(nn.Module):
     # gather FLOP saving cancels against retry-plan overhead).
     subm_wins: Sequence[int] = (256, 256, 256, 256)
     down_wins: Sequence[int] = (384, 512, 640)
+    # per-level lookup windows for the strided-conv neighbor maps
+    # (measured p100 spans ~225/~400/~490; overflow -> exact fallback)
+    down_map_wins: Sequence[int] = (256, 448, 512)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -206,9 +220,28 @@ class PillarSparseEncoder(nn.Module):
         nbr = vnbr(grid)
         if debug_stop == "maps":
             return x + nbr.sum().astype(x.dtype) * 0
+
+        # eval: packed chaining — features travel as 2D lane-padded rows
+        # (B, P, ZCP) between the fused kernels (no per-conv pad/layout
+        # copies; occupancy rides the pad lanes into each down conv)
+        zdim = d
+        c_in0 = x.shape[3]
+        if not train:
+            bsz, p0 = x.shape[0], x.shape[1]
+            zc0 = x.shape[2] * x.shape[3]
+            zcp0 = -(-zc0 // 128) * 128
+            x = x.reshape(bsz, p0, zc0)
+            if zcp0 != zc0:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, zcp0 - zc0)))
+
+        def pshape(ch):
+            return None if train else (zdim, ch)
+
         x = PillarConvBlock(self.base_channels, 27, 3, 1, 1, self.dtype,
                             win=self.subm_wins[0], subm=True,
-                            name="conv_input")(x, nbr, occ, train)
+                            name="conv_input")(
+                                x, nbr, occ, train,
+                                packed_shape=pshape(c_in0))
         if debug_stop == "input":
             return x
 
@@ -218,21 +251,24 @@ class PillarSparseEncoder(nn.Module):
             ch = blocks[0]
             n_sbb = len(blocks) - (0 if i == n_stages - 1 else 1)
             for j in range(n_sbb):
+                last_sbb = j == n_sbb - 1 and i != n_stages - 1
                 x = PillarBasicBlock(
                     ch, self.dtype, win=self.subm_wins[i],
                     name=f"stage{i}_block{j}")(
-                        x, nbr, occ, train)
+                        x, nbr, occ, train, packed_shape=pshape(ch),
+                        emit_occ_lanes=last_sbb and not train)
             if i != n_stages - 1:
                 out_ch = blocks[-1]
                 cap = self.pillar_caps[min(i + 1,
                                            len(self.pillar_caps) - 1)]
-                def vdown(g, cap=cap):
+                def vdown(g, cap=cap, mwin=self.down_map_wins[i]):
                     def one(cm):
                         c, m = cm
                         og = pu.pillar_downsample_grid(
                             pu.PillarGrid(c, m, g.hw, g.z), cap)
                         nb = pu.pillar_conv_neighbor_map(
-                            pu.PillarGrid(c, m, g.hw, g.z), og)
+                            pu.PillarGrid(c, m, g.hw, g.z), og,
+                            window=mwin)
                         return og.coords, og.mask, nb
                     if g.coords.shape[0] == 1:
                         oc, om, nb = jax.tree.map(
@@ -250,15 +286,18 @@ class PillarSparseEncoder(nn.Module):
                     win=self.down_wins[i], name=f"stage{i}_down")
                 if not train:
                     # output occupancy computed in-kernel (rides the lane
-                    # padding of the gathered rows — free)
+                    # padding of the gathered rows, written there by the
+                    # stage's last basic block — free)
                     x, occ_new = blk(x, nbr_dn, None, train,
-                                     occ_in=occ, fold_occ=True)
+                                     occ_in=occ, fold_occ=True,
+                                     packed_shape=pshape(ch))
                 else:
                     occ_new = jax.vmap(
                         lambda o, n, zp=zp: pu.occ_downsample(
                             o, n, 3, 2, zp))(occ, nbr_dn)
                     x = blk(x, nbr_dn, occ_new, train)
                 grid, occ = out_grid, occ_new
+                zdim = (zdim + 2 * zp - 3) // 2 + 1
                 nbr = vnbr(grid)
             if debug_stop == f"s{i}":
                 return x
@@ -270,10 +309,18 @@ class PillarSparseEncoder(nn.Module):
             grid.mask.shape)[..., None]
         occ_out = jax.vmap(
             lambda o, n: pu.occ_downsample(o, n, 3, 2, 0))(occ, ident)
+        last_ch = self.encoder_channels[-1][-1]
         x = PillarConvBlock(self.output_channels, 3, 3, 2, 0, self.dtype,
-                            name="conv_out")(x, ident, occ_out, train)
+                            name="conv_out")(
+                                x, ident, occ_out, train,
+                                packed_shape=pshape(last_ch))
         if debug_stop == "conv_out":
             return x
+        if not train:
+            # unpack (B, P, OW) rows back to (B, P, Z_out, C_out)
+            zf_out = (zdim - 3) // 2 + 1
+            x = x[:, :, :zf_out * self.output_channels].reshape(
+                x.shape[0], x.shape[1], zf_out, self.output_channels)
 
         dense = jax.vmap(
             lambda c, m, f: pu.pillars_to_dense(

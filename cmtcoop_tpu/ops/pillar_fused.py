@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -96,7 +96,7 @@ def _tile_plan(z_in, z_out, cin, cout, kz, z_stride, z_pad):
 
 def _fused_kernel(starts_ref, nbrl_ref, blkact_ref, *rest, win, bp, kb,
                   zoco, has_bias, has_resid, has_occ, relu,
-                  tiles=None, cin=None, cout=None):
+                  tiles=None, cin=None, cout=None, emit_occ=False):
     it = iter(rest)
     occ_ref = next(it) if has_occ else None
     resid_ref = next(it) if has_resid else None
@@ -130,7 +130,7 @@ def _fused_kernel(starts_ref, nbrl_ref, blkact_ref, *rest, win, bp, kb,
 
     @pl.when(~act)
     def _():
-        o_ref[...] = jnp.zeros((bp, zoco), o_ref.dtype)
+        o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
 
     @pl.when(act)
     def _():
@@ -146,7 +146,7 @@ def _fused_kernel(starts_ref, nbrl_ref, blkact_ref, *rest, win, bp, kb,
                 preferred_element_type=jnp.float32).astype(window.dtype))
         acc = _band_contract(gs, band_ref, bp, kb, zoco, tiles, cin, cout)
         _epilogue(acc, bias_ref, resid_ref, occ_ref, e_ref, relu,
-                  has_bias, has_resid, has_occ, o_ref)
+                  has_bias, has_resid, has_occ, o_ref, emit_occ=emit_occ)
 
 
 def _band_contract(gs, band_ref, bp, kb, zoco, tiles, cin, cout):
@@ -172,12 +172,31 @@ def _band_contract(gs, band_ref, bp, kb, zoco, tiles, cin, cout):
     return jnp.concatenate(cols, axis=1)[:, :zoco]
 
 
+def _store_out(y, o_ref, occ_vals=None):
+    """Store (bp, zoco) f32 `y` into o_ref, width-extending to the packed
+    lane count: occupancy rides the first z_out pad lanes (packed chaining
+    convention: the following down conv's fold_occ reads it there), the
+    rest is zeroed so the pad-lane invariant holds."""
+    ow = o_ref.shape[-1]
+    zoco = y.shape[1]
+    if ow > zoco:
+        parts, w = [y], zoco
+        if occ_vals is not None:
+            parts.append(occ_vals.astype(jnp.float32))
+            w += occ_vals.shape[1]
+        if ow > w:
+            parts.append(jnp.zeros((y.shape[0], ow - w), jnp.float32))
+        y = jnp.concatenate(parts, axis=1)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
 def _epilogue(acc, bias_ref, resid_ref, occ_ref, e_ref, relu,
-              has_bias, has_resid, has_occ, o_ref):
+              has_bias, has_resid, has_occ, o_ref, emit_occ=False):
+    zoco = acc.shape[1]
     if has_bias:
         acc = acc + bias_ref[0][None, :].astype(jnp.float32)
     if has_resid:
-        acc = acc + resid_ref[...].astype(jnp.float32)
+        acc = acc + resid_ref[...][:, :zoco].astype(jnp.float32)
     if relu:
         acc = jnp.maximum(acc, 0.0)
     if has_occ:
@@ -185,16 +204,20 @@ def _epilogue(acc, bias_ref, resid_ref, occ_ref, e_ref, relu,
             occ_ref[...].astype(e_ref.dtype), e_ref[...],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         acc = acc * occx
-    o_ref[...] = acc.astype(o_ref.dtype)
+    _store_out(acc, o_ref,
+               occ_ref[...] if (emit_occ and has_occ) else None)
 
 
-PADG = 8  # guard rows prepended so the subm shift slices never underflow
+PADG = 8  # guard rows inside the mid scratch buffer so the subm shift
+#           slices never under/overflow (clamped DMA starts + per-block
+#           zeroed guard rows replace the old whole-array jnp.pad, which
+#           cost a ~60 MB HBM copy per conv at stage-0 shapes)
 
 
 def _fused_kernel_v2(starts_ref, nbrl_ref, blkact_ref, *rest, win_d,
                      win_mid, bp, zoco, subm, has_bias, has_resid,
                      has_occ, relu, tiles, cin, cout, fold_occ=None,
-                     zwin=None):
+                     zwin=None, emit_occ=False):
     """3x3-BEV conv with per-dy-row windows: the 9 taps split into three
     dy groups whose neighbors each span a SHORT contiguous run of the
     sorted pillar order (measured p99 ~160 rows/group vs ~512 combined), so
@@ -240,24 +263,27 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, blkact_ref, *rest, win_d,
 
     blk = pl.program_id(0)
     nblk = pl.num_programs(0)
+    ow = o_ref.shape[-1]
 
     def dmas(slot, b_idx):
         s0 = pl.multiple_of(starts_ref[b_idx, 0], 8)
         s2 = pl.multiple_of(starts_ref[b_idx, 2], 8)
-        if subm:
-            s1 = pl.multiple_of(b_idx * bp, 8)
-        else:
-            s1 = pl.multiple_of(starts_ref[b_idx, 1], 8)
+        s1 = pl.multiple_of(starts_ref[b_idx, 1], 8)
         if zwin:
             zq = pl.multiple_of(zoff_ref[b_idx] * cin, 128)
             lanes = pl.ds(zq, zwin * cin)
         else:
             lanes = slice(None)
+        # subm: the mid window lands between PADG zeroed guard rows (the
+        # shift slices may reach one row past either end at the array
+        # boundaries, where the existence mask zeroes the contribution)
+        mid_dst = (buf_mid.at[slot, pl.ds(PADG, win_mid)] if subm
+                   else buf_mid.at[slot])
         return [
             pltpu.make_async_copy(rows_hbm.at[pl.ds(s0, win_d), lanes],
                                   buf_lo.at[slot], sem.at[slot, 0]),
             pltpu.make_async_copy(rows_hbm.at[pl.ds(s1, win_mid), lanes],
-                                  buf_mid.at[slot], sem.at[slot, 1]),
+                                  mid_dst, sem.at[slot, 1]),
             pltpu.make_async_copy(rows_hbm.at[pl.ds(s2, win_d), lanes],
                                   buf_hi.at[slot], sem.at[slot, 2]),
         ]
@@ -265,6 +291,17 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, blkact_ref, *rest, win_d,
     act = blkact_ref[blk] != 0
     nxt = jnp.minimum(blk + 1, nblk - 1)
     nxt_act = (blk + 1 < nblk) & (blkact_ref[nxt] != 0)
+
+    @pl.when(blk == 0)
+    def _():
+        if subm:
+            # guard rows are never DMA targets: zero once, stay zero
+            zcp_k = buf_mid.shape[-1]
+            for s in range(2):
+                buf_mid[s, :PADG] = jnp.zeros((PADG, zcp_k),
+                                              buf_mid.dtype)
+                buf_mid[s, PADG + win_mid:] = jnp.zeros(
+                    (PADG, zcp_k), buf_mid.dtype)
 
     @pl.when((blk == 0) & act)
     def _():
@@ -278,7 +315,7 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, blkact_ref, *rest, win_d,
 
     @pl.when(~act)
     def _():
-        o_ref[...] = jnp.zeros((bp, zoco), o_ref.dtype)
+        o_ref[...] = jnp.zeros((bp, ow), o_ref.dtype)
         if fold_occ:
             occ_o_ref[...] = jnp.zeros(
                 occ_o_ref.shape[-2:], occ_o_ref.dtype)
@@ -290,12 +327,13 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, blkact_ref, *rest, win_d,
             win_mid=win_mid, bp=bp, zoco=zoco, subm=subm,
             has_bias=has_bias, has_resid=has_resid, has_occ=has_occ,
             relu=relu, tiles=tiles, cin=cin, cout=cout, fold_occ=fold_occ,
-            zwin=zwin, dmas=dmas)
+            zwin=zwin, dmas=dmas, emit_occ=emit_occ)
 
 
 def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
                       bp, zoco, subm, has_bias, has_resid, has_occ, relu,
-                      tiles, cin, cout, fold_occ, zwin, dmas):
+                      tiles, cin, cout, fold_occ, zwin, dmas,
+                      emit_occ=False):
     (zoff_ref, mask_ref, occ_ref, resid_ref, bias_ref, e_ref, s_ref,
      rows_hbm, band_ref, o_ref, occ_o_ref, buf_lo, buf_mid, buf_hi,
      kbuf, fullbuf, sem) = refs
@@ -303,8 +341,12 @@ def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
     for cp in dmas(blk % 2, blk):
         cp.wait()
     w_lo = buf_lo[blk % 2]
-    w_mid = buf_mid[blk % 2]
+    w_mid = None if subm else buf_mid[blk % 2]
     w_hi = buf_hi[blk % 2]
+    if subm:
+        # own-block rows sit at guard offset PADG plus the clamp slack
+        # (starts are clamped to the array; off in [0, 2*PADG])
+        mid0 = blk * bp - starts_ref[blk, 1] + PADG
 
     # M-stacked one-hot gathers: the 3 taps of a dy group share one
     # window, so their one-hots stack along M into ONE (3*bp, win) @
@@ -324,9 +366,15 @@ def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
     gs = gather3((0, 1, 2), w_lo)
     if subm:
         m = mask_ref[...]  # (bp, 3) existence of left/center/right
-        gs.append(w_mid[PADG - 1:PADG - 1 + bp] * m[:, 0:1])
-        gs.append(w_mid[PADG:PADG + bp] * m[:, 1:2])
-        gs.append(w_mid[PADG + 1:PADG + 1 + bp] * m[:, 2:3])
+        # one ALIGNED dynamic slice (the clamp slack off = blk*bp - s1 is
+        # a multiple of 8 by construction: bp, PADG, prow, win_mid all
+        # are), then static +-1 sub-slices of the value — Mosaic cannot
+        # prove unaligned dynamic sublane offsets
+        off = pl.multiple_of(mid0 - PADG, 8)
+        wm = buf_mid[blk % 2, pl.ds(off, bp + 2 * PADG)]
+        gs.append(wm[PADG - 1:PADG - 1 + bp] * m[:, 0:1])
+        gs.append(wm[PADG:PADG + bp] * m[:, 1:2])
+        gs.append(wm[PADG + 1:PADG + 1 + bp] * m[:, 2:3])
         gs.extend(gather3((3, 4, 5), w_hi))
     else:
         gs.extend(gather3((3, 4, 5), w_mid))
@@ -385,16 +433,16 @@ def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
         if has_bias:
             acc = acc + bias_ref[0][None, :].astype(jnp.float32)
         if has_resid:
-            acc = acc + resid_ref[...].astype(jnp.float32)
+            acc = acc + resid_ref[...][:, :zoco].astype(jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
         occx = jax.lax.dot_general(
             occ_new.astype(e_ref.dtype), e_ref[...],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        o_ref[...] = (acc * occx).astype(o_ref.dtype)
+        _store_out(acc * occx, o_ref, occ_new if emit_occ else None)
     else:
         _epilogue(acc, bias_ref, resid_ref, occ_ref, e_ref, relu,
-                  has_bias, has_resid, has_occ, o_ref)
+                  has_bias, has_resid, has_occ, o_ref, emit_occ=emit_occ)
 
 
 def _xla_reference(feats, nbr, weights, kz, z_stride, z_pad,
@@ -417,7 +465,7 @@ def _xla_reference(feats, nbr, weights, kz, z_stride, z_pad,
 
 
 def fused_pillar_conv(
-    feats: jnp.ndarray,            # (P_in, Z_in, Cin)
+    feats: jnp.ndarray,            # (P_in, Z_in, Cin) or (P_in, ZCP)
     nbr: jnp.ndarray,              # (P_out, KB) gather map, miss -> P_in
     weights: jnp.ndarray,          # (kz*KB, Cin, Cout) z-major
     *,
@@ -434,6 +482,8 @@ def fused_pillar_conv(
     subm: bool = False,
     occ_in: Optional[jnp.ndarray] = None,    # (P_in, Z_in) bool
     fold_occ: bool = False,
+    packed_shape: Optional[Tuple[int, int]] = None,  # (Z_in, Cin)
+    emit_occ_lanes: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """conv (+BN eval) (+residual) (+ReLU) (+occupancy mask), one kernel.
@@ -449,8 +499,25 @@ def fused_pillar_conv(
     occupancy is computed IN kernel — occupancy rides as extra row columns
     inside the lane padding, so the gather is free — and returned as a
     second output: `(out, occ_out_bool)`. `occ_out` must be None.
+
+    Packed chaining (`packed_shape=(Z_in, Cin)`): `feats` is a 2D
+    lane-padded rows array (P_in, ZCP) with ZCP = 128-aligned Z_in*Cin and
+    zero pad lanes, `residual` likewise (P, ZCP_out); the result is
+    (P_out, ZCP_out) in the same convention, so a conv chain never pays
+    the per-conv jnp.pad/layout copies of the 3D interface (measured ~5 ms
+    per encoder at stage-0 shapes). `emit_occ_lanes=True` writes the
+    output-site occupancy into pad lanes [zoco, zoco+Z_out) — where the
+    following down conv's `fold_occ` reads it; with `fold_occ` under
+    packed input the occupancy must already sit in feats' lanes
+    [zc, zc+Z_in) (the producing conv emitted it).
     """
-    p_in, z_in, cin = feats.shape
+    if packed_shape is not None:
+        z_in, cin = packed_shape
+        p_in, zcp = feats.shape
+        assert zcp % 128 == 0 and zcp >= z_in * cin, (zcp, packed_shape)
+    else:
+        p_in, z_in, cin = feats.shape
+        zcp = _round_up(z_in * cin + (z_in if fold_occ else 0), 128)
     p_out, kb = nbr.shape
     cout = weights.shape[2]
     z_out = (z_in + 2 * z_pad - kz) // z_stride + 1
@@ -459,18 +526,52 @@ def fused_pillar_conv(
 
     zc = z_in * cin
     zoco = z_out * cout
-    zcp = _round_up(zc, 128)
+    packed = packed_shape is not None
+    ow = _round_up(zoco, 128) if packed else zoco
+    if emit_occ_lanes:
+        assert packed and zoco + z_out <= ow and (
+            occ_out is not None or fold_occ), (zoco, z_out, ow)
     nb = p_out // bp
     use_v2 = kb == 9
 
     if fold_occ:
-        assert occ_in is not None and occ_out is None and not subm
+        assert occ_out is None and not subm
+        assert occ_in is not None or packed
+
+    def feats3():
+        if packed:
+            return feats[:, :zc].reshape(p_in, z_in, cin)
+        return feats
+
+    def occ_in3():
+        if occ_in is not None:
+            return occ_in
+        return feats[:, zc:zc + z_in] > 0.5  # packed occ lanes
+
+    def pack_out(out3, occ_vals=None):
+        """(P, Z_out, Cout) -> packed rows for the slow/unsupported
+        paths, preserving the packed conventions."""
+        if not packed:
+            return out3
+        r = out3.reshape(p_out, zoco)
+        parts, wnow = [r], zoco
+        if emit_occ_lanes:
+            parts.append(occ_vals.astype(r.dtype))
+            wnow += z_out
+        if ow > wnow:
+            parts.append(jnp.zeros((p_out, ow - wnow), r.dtype))
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else r
 
     def xla_fold(_=None):
-        occ_x = pu.occ_downsample(occ_in, nbr, kz, z_stride, z_pad)
-        out = _xla_reference(feats, nbr, weights, kz, z_stride, z_pad,
-                             scale, bias, occ_x, residual, relu)
-        return out, occ_x
+        occ_x = pu.occ_downsample(occ_in3(), nbr, kz, z_stride, z_pad)
+        out = _xla_reference(feats3(), nbr, weights, kz, z_stride, z_pad,
+                             scale, bias, occ_x, residual_3d(), relu)
+        return pack_out(out, occ_x), occ_x
+
+    def residual_3d():
+        if residual is None or not packed:
+            return residual
+        return residual[:, :zoco].reshape(p_out, z_out, cout)
 
     unsupported = (p_out % bp != 0 or kb * kz != weights.shape[0]
                    or p_in < 8 or win % 8 != 0
@@ -479,15 +580,19 @@ def fused_pillar_conv(
     if unsupported:
         if fold_occ:
             return xla_fold()
-        return _xla_reference(feats, nbr, weights, kz, z_stride, z_pad,
-                              scale, bias, occ_out, residual, relu)
+        out = _xla_reference(feats3(), nbr, weights, kz, z_stride, z_pad,
+                             scale, bias, occ_out, residual_3d(), relu)
+        return pack_out(out, occ_out)
 
-    rows = feats.reshape(p_in, zc)
-    if fold_occ:
-        rows = jnp.concatenate(
-            [rows, occ_in.astype(rows.dtype)], axis=1)
-    if zcp != rows.shape[1]:
-        rows = jnp.pad(rows, ((0, 0), (0, zcp - rows.shape[1])))
+    if packed:
+        rows = feats
+    else:
+        rows = feats.reshape(p_in, zc)
+        if fold_occ:
+            rows = jnp.concatenate(
+                [rows, occ_in.astype(rows.dtype)], axis=1)
+        if zcp != rows.shape[1]:
+            rows = jnp.pad(rows, ((0, 0), (0, zcp - rows.shape[1])))
 
     nblk = nbr.reshape(nb, bp, kb)
     # dead-block gate: a block whose output sites are all unoccupied (or,
@@ -503,22 +608,27 @@ def fused_pillar_conv(
         blk_act = jnp.ones((nb,), bool)
     if use_v2:
         win_mid = bp + 2 * PADG if subm else win
-        # padded row space: PADG zero guard rows + tail so any window read
-        # stays in bounds (group starts are clipped to [0, p_in]); tail
-        # sized for the 2x retry window
-        tail = max(2 * win, win_mid)
-        rows = jnp.pad(rows, ((PADG, tail), (0, 0)))
+        # no whole-array guard/tail pad: window starts are CLAMPED to the
+        # row array instead (one-hot misses make out-of-window taps exact
+        # zeros, so a clamped window only needs to contain the valid taps,
+        # which the overflow guard already certifies). Tiny inputs that
+        # cannot fit the 2x retry window keep a tail pad (test shapes).
+        need = max(2 * win, win_mid)
+        if rows.shape[0] < need:
+            rows = jnp.pad(rows, ((0, need - rows.shape[0]), (0, 0)))
+        prow = rows.shape[0]
 
         def group(taps, wind):
             vals = nblk[:, :, taps]                      # (nb, bp, 3)
             gvalid = vals < p_in
             gmin = jnp.min(jnp.where(gvalid, vals, p_in), axis=(1, 2))
-            gstart = (jnp.clip(gmin, 0, p_in) // 8 * 8).astype(jnp.int32)
+            gstart = (jnp.clip(gmin, 0, prow - wind) // 8 * 8).astype(
+                jnp.int32)
             loc = vals - gstart[:, None, None]
             inw = gvalid & (loc >= 0) & (loc < wind)
             # dead blocks never execute: their taps can't overflow
             ovf = jnp.any((gvalid & ~inw) & blk_act[:, None, None])
-            return (gstart + PADG, jnp.where(inw, loc, wind).astype(
+            return (gstart, jnp.where(inw, loc, wind).astype(
                 jnp.int32), ovf)
 
         def window_plan(wind):
@@ -526,7 +636,11 @@ def fused_pillar_conv(
             s2, loc2, ovf2 = group([6, 7, 8], wind)
             if subm:
                 overflow = ovf0 | ovf2 | struct_bad
-                s1 = jnp.zeros_like(s0)  # unused: mid start is blk*bp
+                # own-rows mid window, clamped; the kernel re-derives the
+                # block's offset (blk*bp - s1) against its guard rows
+                s1 = jnp.clip(
+                    jnp.arange(nb, dtype=jnp.int32) * bp - PADG,
+                    0, prow - win_mid)
                 local = jnp.concatenate(
                     [loc0, loc2], axis=2).reshape(nb * bp, 6)
             else:
@@ -571,23 +685,36 @@ def fused_pillar_conv(
             zmax_p = jnp.max(jnp.where(ob, zidx[None, :], -1), axis=1)
             # two-stage block reduction (a direct reduce_window with a
             # ~1.1k window lowers as O(P*window) VPU work): per-block
-            # min/max, then union over the +-2*win/bp neighbor blocks
-            # any window DMA (incl. the 2x retry) can touch
+            # min/max, then per-plan union over the blocks each window
+            # DMA actually reads (derived from the clamped starts, NOT a
+            # fixed block neighborhood — windows can land far from the
+            # block's own rows on dense clouds)
             bmin = zmin_p.reshape(nb, bp).min(axis=1)
             bmax = zmax_p.reshape(nb, bp).max(axis=1)
-            r = -(-2 * win // bp)
-            zlo, zhi = bmin, bmax
-            for d in range(1, r + 1):
-                zlo = jnp.minimum(zlo, jnp.roll(bmin, d).at[:d].set(z_in))
-                zlo = jnp.minimum(
-                    zlo, jnp.roll(bmin, -d).at[-d:].set(z_in))
-                zhi = jnp.maximum(zhi, jnp.roll(bmax, d).at[:d].set(-1))
-                zhi = jnp.maximum(
-                    zhi, jnp.roll(bmax, -d).at[-d:].set(-1))
-            zoffs = jnp.clip((zlo - 1) // zq_ * zq_, 0,
-                             z_in - zwin).astype(jnp.int32)
-            z_ovf = jnp.any(blk_act & (zhi > zoffs + (zwin - 2)))
+            nbp = prow // bp + 2
+            bminp = jnp.concatenate(
+                [bmin, jnp.full((nbp - nb,), z_in, bmin.dtype)])
+            bmaxp = jnp.concatenate(
+                [bmax, jnp.full((nbp - nb,), -1, bmax.dtype)])
+
+            def zplan(starts_arr, wind):
+                zlo = jnp.full((nb,), z_in, jnp.int32)
+                zhi = jnp.full((nb,), -1, jnp.int32)
+                for g in range(3):
+                    wg = win_mid if (subm and g == 1) else wind
+                    first = starts_arr[:, g] // bp
+                    for k in range(wg // bp + 2):
+                        idx = jnp.minimum(first + k, nbp - 1)
+                        zlo = jnp.minimum(zlo, bminp[idx])
+                        zhi = jnp.maximum(zhi, bmaxp[idx])
+                zo = jnp.clip((zlo - 1) // zq_ * zq_, 0,
+                              z_in - zwin).astype(jnp.int32)
+                zv = jnp.any(blk_act & (zhi > zo + (zwin - 2)))
+                return zo, zv
+
+            zoffs, z_ovf = zplan(start, win)
         else:
+            zplan = None
             zoffs = None
             z_ovf = jnp.zeros((), bool)
     else:
@@ -651,8 +778,10 @@ def fused_pillar_conv(
         pl.BlockSpec(memory_space=pltpu.SMEM),                    # blk act
     ]
     operands = [blk_act.astype(jnp.int32)]
+    zoffs_slot = None
     if zwin:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        zoffs_slot = len(operands)
         operands.append(zoffs)
     if use_v2 and subm:
         in_specs.append(pl.BlockSpec((bp, 3), lambda b: (b, 0),
@@ -663,9 +792,10 @@ def fused_pillar_conv(
                                      memory_space=pltpu.VMEM))
         operands.append(occ_out.astype(feats.dtype))
     if has_resid:
-        in_specs.append(pl.BlockSpec((bp, zoco), lambda b: (b, 0),
+        rw = residual.shape[-1] if packed else zoco
+        in_specs.append(pl.BlockSpec((bp, rw), lambda b: (b, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(residual.reshape(p_out, zoco).astype(feats.dtype))
+        operands.append(residual.reshape(p_out, rw).astype(feats.dtype))
     if has_bias:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         bias_row = jnp.tile(bias.astype(jnp.float32), z_out)[None, :]
@@ -700,11 +830,12 @@ def fused_pillar_conv(
                 zoco=zoco, subm=subm, has_bias=has_bias,
                 has_resid=has_resid, has_occ=has_occ, relu=relu,
                 tiles=tiles, cin=cin, cout=cout, fold_occ=fold,
-                zwin=zwin)
+                zwin=zwin, emit_occ=emit_occ_lanes)
             zcp_k = zwin * cin if zwin else zcp
             scratch = [
                 pltpu.VMEM((2, wind, zcp_k), feats.dtype),
-                pltpu.VMEM((2, wmid, zcp_k), feats.dtype),
+                pltpu.VMEM((2, wmid + (2 * PADG if subm else 0), zcp_k),
+                           feats.dtype),
                 pltpu.VMEM((2, wind, zcp_k), feats.dtype),
             ]
             if tiles is not None and KPACK:
@@ -718,14 +849,15 @@ def fused_pillar_conv(
             body = functools.partial(
                 _fused_kernel, win=wind, bp=bp, kb=kb, zoco=zoco,
                 has_bias=has_bias, has_resid=has_resid, has_occ=has_occ,
-                relu=relu, tiles=tiles, cin=cin, cout=cout)
+                relu=relu, tiles=tiles, cin=cin, cout=cout,
+                emit_occ=emit_occ_lanes)
             scratch = [
                 pltpu.VMEM((2, wind, zcp), feats.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
-        out_specs = pl.BlockSpec((bp, zoco), lambda b: (b, 0),
+        out_specs = pl.BlockSpec((bp, ow), lambda b: (b, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((p_out, zoco), feats.dtype)
+        out_shape = jax.ShapeDtypeStruct((p_out, ow), feats.dtype)
         if fold_occ:
             out_specs = [out_specs,
                          pl.BlockSpec((bp, z_out), lambda b: (b, 0),
@@ -748,16 +880,27 @@ def fused_pillar_conv(
     def shape_out(res):
         if fold_occ:
             out, occ_f = res
+            if packed:
+                return out, occ_f > 0.5
             return out.reshape(p_out, z_out, cout), occ_f > 0.5
+        if packed:
+            return res
         return res.reshape(p_out, z_out, cout)
 
     if fold_occ:
         slow = xla_fold
     else:
         def slow(_):
-            return _xla_reference(feats, nbr, weights, kz, z_stride,
-                                  z_pad, scale, bias, occ_out, residual,
-                                  relu)
+            out = _xla_reference(feats3(), nbr, weights, kz, z_stride,
+                                 z_pad, scale, bias, occ_out,
+                                 residual_3d(), relu)
+            return pack_out(out, occ_out)
+
+    def ops_with(zo):
+        if zoffs_slot is None:
+            return operands
+        return (operands[:zoffs_slot] + [zo]
+                + operands[zoffs_slot + 1:])
 
     def fast(_):
         return shape_out(make_kernel(win)(start, local, *operands))
@@ -767,19 +910,22 @@ def fused_pillar_conv(
 
     # retry ladder: win -> 2x win -> XLA reference. Windows are sized to
     # measured p100 spans with thin margins; an unusual cloud pays one 2x
-    # retry instead of the catastrophic exact path. The wide plan lives
-    # INSIDE the cond branch so it costs nothing on the fast path.
+    # retry instead of the catastrophic exact path. The wide plan (and
+    # its own z-window plan) lives INSIDE the cond branch so it costs
+    # nothing on the fast path.
     def retry(_):
         start2, local2, ovf_wide = window_plan(2 * win)
+        if zwin:
+            zoffs2, z_ovf2 = zplan(start2, 2 * win)
+        else:
+            zoffs2, z_ovf2 = None, jnp.zeros((), bool)
 
         def fast2(_):
             return shape_out(
-                make_kernel(2 * win)(start2, local2, *operands))
-        return jax.lax.cond(ovf_wide, slow, fast2, None)
+                make_kernel(2 * win)(start2, local2, *ops_with(zoffs2)))
+        return jax.lax.cond(ovf_wide | z_ovf2, slow, fast2, None)
 
     def laddered(_):
-        return jax.lax.cond(overflow, retry, fast, None)
+        return jax.lax.cond(overflow | z_ovf, retry, fast, None)
 
-    # z-window span overflow (rare; zwin covers measured spans with
-    # margin) goes straight to the exact path
-    return jax.lax.cond(z_ovf, slow, laddered, None)
+    return laddered(None)

@@ -212,9 +212,16 @@ def pillar_downsample_grid(grid: PillarGrid, max_out: int,
     n_uniq = jnp.maximum(
         jnp.max(jnp.where(rank == INT32_MAX, -1, rank)) + 1, 0)
     slots = jnp.arange(max_out, dtype=jnp.int32)
-    # window bound by construction: <= k*k inputs nominate one output cell,
-    # so a 128-slot block spans <= 128*9 = 1152 duplicate ranks
-    pos, _ = sorted_lookup(rank, slots, window=1280)
+    # hard window bound: <= k*k inputs nominate one output cell, so a
+    # 128-slot block spans <= 128*9 = 1152 duplicate ranks; real clouds
+    # average ~1.2 nominations/cell, so try a 512 window first and retry
+    # at the bound only on overflow (lookup cost is linear in window)
+    pos, _, ovf = sorted_lookup(rank, slots, window=512,
+                                return_overflow=True)
+    pos = jax.lax.cond(
+        ovf,
+        lambda _: sorted_lookup(rank, slots, window=1280)[0],
+        lambda _: pos, None)
     uniq = slin[jnp.minimum(pos, slin.shape[0] - 1)]
     out_mask = slots < n_uniq
     coords = jnp.where(
@@ -225,11 +232,15 @@ def pillar_downsample_grid(grid: PillarGrid, max_out: int,
 
 def pillar_conv_neighbor_map(in_grid: PillarGrid, out_grid: PillarGrid,
                              stride: int = 2, k: int = 3,
-                             pad: int = 1, exact=None) -> jnp.ndarray:
+                             pad: int = 1, exact=None,
+                             window: int = 512) -> jnp.ndarray:
     """(P_out, k*k) gather map into input pillars for a strided BEV conv.
 
     k=3 fast path: each kernel row's k input cells are consecutive linear
-    ids -> one run-3 windowed lookup per dy (3 passes instead of 9)."""
+    ids -> one run-3 windowed lookup per dy (3 passes instead of 9).
+    `window` sizes the lookup slice per 128-query block (cost is linear in
+    it); measured p100 spans by level: ~225 / ~400 / ~490 — overflow falls
+    back to the exact path, so tight windows are safe."""
     p_in = in_grid.coords.shape[0]
     h, w = in_grid.hw
     lin = in_grid.linear_ids
@@ -257,9 +268,8 @@ def pillar_conv_neighbor_map(in_grid: PillarGrid, out_grid: PillarGrid,
         sy = oy * stride + dy - pad
         sx0 = ox * stride - pad
         base = jnp.where(om, sy * w + sx0, INT32_MAX)
-        # measured p100 span <=490 per 128-query block (stage 2)
         pos, hit, ovf = sorted_lookup(
-            lin, base, run=3, window=512, return_overflow=True,
+            lin, base, run=3, window=window, return_overflow=True,
             exact=exact)
         yv = (sy >= 0) & (sy < h) & om
         cols = []

@@ -319,3 +319,54 @@ def test_dead_block_skip_fold_occ(rng):
                          None, None, occ_ref, None, True)
     np.testing.assert_array_equal(np.asarray(occ_got), np.asarray(occ_ref))
     _check(got, ref, tol=2e-4)
+
+
+def test_packed_chain_matches_3d(rng):
+    """Packed 2D rows interface: a subm conv (emitting occupancy into the
+    pad lanes) chained into a fold_occ down conv must match the 3D
+    interface bit-for-bit, including the emitted occ lanes the down conv
+    consumes."""
+    grid, _ = _grid(rng, hw=(32, 32), z=21, p_cap=256, density=0.45)
+    z, c, co = 21, 32, 64
+    p = grid.coords.shape[0]
+    nbr = pu.pillar_neighbor_map(grid)
+    out_grid = pu.pillar_downsample_grid(grid, 256)
+    nbr_dn = pu.pillar_conv_neighbor_map(grid, out_grid)
+    occ = rng.uniform(size=(p, z)) < 0.4
+    occ &= np.asarray(grid.mask)[:, None]
+    occ = jnp.asarray(occ)
+    feats = jnp.asarray(
+        (rng.normal(size=(p, z, c)) * np.asarray(occ)[..., None])
+        .astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(27, c, c)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(27, c, co)).astype(np.float32) * 0.1)
+    sc = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    bi = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+
+    # 3D reference chain
+    mid3 = fused_pillar_conv(
+        feats, nbr, w1, scale=sc, bias=bi, occ_out=occ, relu=True,
+        subm=True, win=64, interpret=True)
+    out3, occ3 = fused_pillar_conv(
+        mid3, nbr_dn, w2, z_stride=2, z_pad=1, relu=True,
+        occ_in=occ, fold_occ=True, win=64, interpret=True)
+
+    # packed chain: pad entry rows, emit occ lanes, consume via fold_occ
+    zc = z * c
+    zcp = -(-zc // 128) * 128
+    rows = jnp.pad(feats.reshape(p, zc), ((0, 0), (0, zcp - zc)))
+    midp = fused_pillar_conv(
+        rows, nbr, w1, scale=sc, bias=bi, occ_out=occ, relu=True,
+        subm=True, win=64, packed_shape=(z, c), emit_occ_lanes=True,
+        interpret=True)
+    assert midp.shape == (p, zcp)
+    _check(midp[:, :zc].reshape(p, z, c), mid3, tol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(midp[:, zc:zc + z] > 0.5), np.asarray(occ))
+    outp, occp = fused_pillar_conv(
+        midp, nbr_dn, w2, z_stride=2, z_pad=1, relu=True,
+        occ_in=occ, fold_occ=True, win=64, packed_shape=(z, c),
+        interpret=True)
+    z_out = (z + 2 - 3) // 2 + 1
+    _check(outp[:, :z_out * co].reshape(p, z_out, co), out3, tol=2e-4)
+    np.testing.assert_array_equal(np.asarray(occp), np.asarray(occ3))
