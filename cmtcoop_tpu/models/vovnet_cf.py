@@ -52,6 +52,32 @@ def _convbn_xla(x, p, bs, stride, relu=True, dtype=jnp.bfloat16):
     return y.astype(dtype)
 
 
+def _convbn_s2_wpacked(x_nhwc, p, bs, dtype=jnp.bfloat16):
+    """3x3 stride-2 conv via width-packing: the free reshape
+    (W, C) -> (W/2, 2C) turns the stride-2 w axis into stride 1 with a
+    3x2 kernel over 2C input channels (output col j reads orig cols
+    2j-1, 2j, 2j+1 = w/2-blocks (j-1, phase 1), (j, phase 0/1) -> kw=2
+    taps, left pad 1). No data movement, doubles MXU lane occupancy;
+    measured 2.8 -> 2.0 ms on stem3 (64->128 @ 4x320x800), and the
+    probe showed a FULL space-to-depth transpose is a net loss (the
+    (.., 2, 2, C) transpose costs more than the conv saves)."""
+    v, h, w, c = x_nhwc.shape
+    assert h % 2 == 0 and w % 2 == 0
+    k = p["Conv_0"]["kernel"]                        # (3, 3, C, Co)
+    co = k.shape[-1]
+    x = x_nhwc.reshape(v, h, w // 2, 2 * c).astype(dtype)
+    k2 = jnp.zeros((3, 2, 2 * c, co), k.dtype)
+    for dj in range(3):
+        qb, qq = {0: (0, 1), 1: (1, 0), 2: (1, 1)}[dj]
+        k2 = k2.at[:, qb, qq * c:(qq + 1) * c].set(k[:, dj])
+    y = jax.lax.conv_general_dilated(
+        x, k2.astype(dtype), (2, 1), ((1, 1), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    scale, bias = _fold_bn(p["BatchNorm_0"], bs["BatchNorm_0"])
+    return jnp.maximum(y * scale + bias, 0.0).astype(dtype)
+
+
 def _ese_cf(x_flat, p, h, w):
     """eSE on cf (V, C, NL): GAP over the (zero-padded) spatial lanes,
     1x1 fc, hard-sigmoid, channel scale (scaling preserves zero pads)."""
@@ -116,23 +142,45 @@ def _osa_cf(x_cf, p, bs, identity, h, w, dtype, rt=8):
 
 def vovnet_cf(variables: Dict[str, Any], x_nhwc: jnp.ndarray,
               spec_name: str, out_features: Sequence[str],
-              dtype=jnp.bfloat16, rt: int = 8) -> Dict[str, jnp.ndarray]:
-    """Eval forward matching `VoVNet.__call__` (NHWC in/out)."""
+              dtype=jnp.bfloat16, rt: int = 8,
+              stop_after: str = None,
+              stem_impl: str = "xla") -> Dict[str, jnp.ndarray]:
+    """Eval forward matching `VoVNet.__call__` (NHWC in/out).
+
+    `stop_after` ("stem" / "stage2" .. "stage5") truncates the graph for
+    cumulative probe timings (tools/probe_vovnet_cf.py); `stem_impl`
+    selects the stem lowering (probing): "xla" (all direct convs, the
+    default), "xla_wpacked" (stem3 width-packed), "cf2" (cf kernel for
+    stem2)."""
     p = variables["params"]
     bs = variables["batch_stats"]
     spec = STAGE_SPECS[spec_name]
+    # all-XLA stem. Composed-graph A/B (probe_vovnet_stems, n~50 each,
+    # reps consistent to 0.1 ms): direct XLA stem 29.29 ms FULL vs 30.90
+    # with the cf-kernel stem2 detour (to_cf+from_cf at 320x800) vs
+    # 34.74 with a width-packed stem3 — both "clever" variants win
+    # isolated but LOSE composed (XLA layout propagation), so the stem
+    # stays on plain strided convs.
     x = _convbn_xla(x_nhwc, p["stem1"], bs["stem1"], 2, dtype=dtype)
-    # stem2 is stride-1 -> cf kernel (measured 3.3 -> 1.4 ms at 4 views;
-    # the stride-2 stem1/stem3 stay on XLA)
-    h2, w2 = x.shape[1], x.shape[2]
-    sc2, bi2 = _fold_bn(p["stem2"]["BatchNorm_0"], bs["stem2"]["BatchNorm_0"])
-    x = conv3x3_cf(to_cf(x, rt), p["stem2"]["Conv_0"]["kernel"].astype(dtype),
-                   h2, w2, scale=sc2, bias=bi2, relu=True, rt=rt)
-    x = from_cf(x, h2, w2)
-    x = _convbn_xla(x, p["stem3"], bs["stem3"], 2, dtype=dtype)
+    if stem_impl == "cf2":
+        h2, w2 = x.shape[1], x.shape[2]
+        sc2, bi2 = _fold_bn(p["stem2"]["BatchNorm_0"],
+                            bs["stem2"]["BatchNorm_0"])
+        x = conv3x3_cf(to_cf(x, rt),
+                       p["stem2"]["Conv_0"]["kernel"].astype(dtype),
+                       h2, w2, scale=sc2, bias=bi2, relu=True, rt=rt)
+        x = from_cf(x, h2, w2)
+    else:
+        x = _convbn_xla(x, p["stem2"], bs["stem2"], 1, dtype=dtype)
+    if stem_impl == "xla_wpacked":
+        x = _convbn_s2_wpacked(x, p["stem3"], bs["stem3"], dtype=dtype)
+    else:
+        x = _convbn_xla(x, p["stem3"], bs["stem3"], 2, dtype=dtype)
     outputs = {}
     if "stem" in out_features:
         outputs["stem"] = x
+    if stop_after == "stem":
+        return {"_debug": x}
 
     v, h, w, _ = x.shape
     flat = to_cf(x, rt)
@@ -145,4 +193,6 @@ def vovnet_cf(variables: Dict[str, Any], x_nhwc: jnp.ndarray,
                            bs[f"{name}_block{b}"], b > 0, h, w, dtype, rt)
         if name in out_features:
             outputs[name] = from_cf(flat, h, w)
+        if stop_after == name:
+            return {"_debug": flat}
     return outputs
