@@ -47,11 +47,15 @@ def main():
     # caps sized to real TUMTraf occupancy (Ouster-64 + RoboSense ~60-70k
     # points/frame after range crop -> <=50k occupied voxels/pillars);
     # static shapes mean padded caps, not occupancy, set the cost
+    # mid-level caps must EXCEED L0: a k3/s2 sparse conv dilates BEV
+    # occupancy (measured on the bench clouds: 31k -> 36.8k -> 21.4k ->
+    # 9.9k); the per-level assert below keeps these honest
+    pillar_caps = (38400, 40960, 24064, 11264)
     model = CmtCoopDetector(
         use_lidar=use_lidar, use_camera=use_camera,
         extractor_kwargs=dict(
             max_voxels=65536,
-            pillar_caps=(38400, 26624, 15360, 7168)),
+            pillar_caps=pillar_caps),
         head_kwargs=dict(max_gt=128),
         dtype=dtype,
     )
@@ -67,25 +71,47 @@ def main():
         # pillar-cap telemetry: the headline FPS is only honest if the
         # caps do not truncate the bench clouds (round-2 VERDICT weak #3:
         # the old synthetic generator silently overflowed them)
+        from cmtcoop_tpu.ops import pillars as pu
         from cmtcoop_tpu.ops.pillars import pillarize
-        stats_fn = jax.jit(lambda p, m: pillarize(
-            p, m, voxel_size=(0.1, 0.1, 0.2),
-            pc_range=(-72.0, -72.0, -8.0, 72.0, 72.0, 0.0),
-            grid_size=(1440, 1440, 40), max_points=10,
-            max_voxels=65536, max_pillars=38400, return_stats=True)[4])
+
+        def stats(p, m):
+            pc, pm, _, _, s = pillarize(
+                p, m, voxel_size=(0.1, 0.1, 0.2),
+                pc_range=(-72.0, -72.0, -8.0, 72.0, 72.0, 0.0),
+                grid_size=(1440, 1440, 40), max_points=10,
+                max_voxels=65536, max_pillars=pillar_caps[0],
+                return_stats=True)
+            # true (uncapped) occupancy of every downsample level: a k3/s2
+            # conv dilates occupancy, so each level needs its own check
+            g = pu.PillarGrid(pc, pm, (1440, 1440), 41)
+            level_n = []
+            for cap in pillar_caps[1:]:
+                g, n = pu.pillar_downsample_grid(g, cap, return_n=True)
+                level_n.append(n)
+            return s, jnp.stack(level_n)
+
+        stats_fn = jax.jit(stats)
         for agent in ("vehicle_", "infrastructure_"):
-            s = jax.device_get(stats_fn(batch[agent + "points"][0],
-                                        batch[agent + "points_mask"][0]))
+            s, level_n = jax.device_get(
+                stats_fn(batch[agent + "points"][0],
+                         batch[agent + "points_mask"][0]))
+            occs = " ".join(
+                f"L{i+1}={int(n)}/{c}" for i, (n, c) in enumerate(
+                    zip(level_n, pillar_caps[1:])))
             print(f"# {agent}cloud: {int(s['n_points_in_range'])} pts, "
                   f"{int(s['n_pillars_raw'])} pillars "
                   f"({int(s['n_pillars_dropped'])} dropped), "
                   f"{int(s['n_voxels_raw'])} voxels "
-                  f"({int(s['n_voxels_dropped'])} dropped)",
+                  f"({int(s['n_voxels_dropped'])} dropped), {occs}",
                   file=sys.stderr, flush=True)
             assert int(s["n_pillars_dropped"]) == 0, \
                 "bench cloud overflows the pillar cap — headline invalid"
             assert int(s["n_voxels_dropped"]) == 0, \
                 "bench cloud overflows the voxel cap — headline invalid"
+            for i, (n, c) in enumerate(zip(level_n, pillar_caps[1:])):
+                assert int(n) <= c, (
+                    f"level {i+1} occupancy {int(n)} overflows cap {c} — "
+                    "headline invalid (silent mid-level truncation)")
 
     # NOTE: shape-only init (dryrun-style) was measured SLOWER here —
     # tracing the bench-scale graph locally + shipping ~600 MB of leaves

@@ -58,7 +58,7 @@ class FeatureExtractor(nn.Module):
     # "pillar" = pillar-dense encoder (fast path, same function);
     # "gather" = per-voxel gather encoder (reference implementation)
     encoder_impl: str = "pillar"
-    pillar_caps: Sequence[int] = (40000, 24000, 16000, 16000)
+    pillar_caps: Sequence[int] = (40000, 48000, 28000, 13056)
     second_channels: Sequence[int] = (128, 256)
     second_layers: Sequence[int] = (5, 5)
     fpn_channels: Sequence[int] = (256, 256)

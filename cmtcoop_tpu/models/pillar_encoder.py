@@ -169,7 +169,11 @@ class PillarSparseEncoder(nn.Module):
     encoder_channels: Sequence[Sequence[int]] = (
         (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
     output_channels: int = 128
-    pillar_caps: Sequence[int] = (40000, 24000, 16000, 16000)
+    # mid-level caps sit ABOVE the L0 cap: a k3/s2 conv DILATES BEV
+    # occupancy (~1.2x at lidar densities) before merging wins at
+    # deeper levels (measured 31k -> 36.8k -> 21.4k -> 9.9k on
+    # ray-cast OS1-64 clouds); descending caps silently truncate
+    pillar_caps: Sequence[int] = (40000, 48000, 28000, 13056)
     # PER-DY-ROW window sizes for the v2 fused kernel (one window per
     # kernel row instead of one union window — ops/pillar_fused.py).
     # Measured per-dy p100 spans on two realistic clouds: subm <=178 at

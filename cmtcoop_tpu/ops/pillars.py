@@ -179,9 +179,16 @@ def pillar_neighbor_map(grid: PillarGrid,
 
 def pillar_downsample_grid(grid: PillarGrid, max_out: int,
                            stride: int = 2, k: int = 3,
-                           pad: int = 1) -> PillarGrid:
+                           pad: int = 1, return_n: bool = False):
     """BEV output pillar set of a strided conv (2D version of
-    sparse_utils.downsample_output_grid)."""
+    sparse_utils.downsample_output_grid).
+
+    `return_n=True` also returns the TRUE unique-cell count (before the
+    `max_out` cap) so callers can detect silent truncation — a k=3/s=2
+    conv DILATES occupancy (~1.2x at realistic lidar densities), so
+    mid-level caps must be sized ABOVE the previous level's, not below
+    (the r3 bench originally shipped descending caps and dropped ~28%
+    of L1-L3 pillars without any telemetry)."""
     h, w = grid.hw
     out_h = (h + 2 * pad - k) // stride + 1
     out_w = (w + 2 * pad - k) // stride + 1
@@ -227,7 +234,8 @@ def pillar_downsample_grid(grid: PillarGrid, max_out: int,
     coords = jnp.where(
         out_mask[:, None],
         jnp.stack([uniq // out_w, uniq % out_w], -1), -1).astype(jnp.int32)
-    return PillarGrid(coords, out_mask, (out_h, out_w), grid.z)
+    out = PillarGrid(coords, out_mask, (out_h, out_w), grid.z)
+    return (out, n_uniq) if return_n else out
 
 
 def pillar_conv_neighbor_map(in_grid: PillarGrid, out_grid: PillarGrid,

@@ -20,7 +20,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 from tools.tpu_probe import bench_cloud, fetch_overhead, log, loop_time  # noqa: E402
 
 DT = jnp.bfloat16
-CAPS = (38400, 26624, 15360, 7168)
+CAPS = (38400, 40960, 24064, 11264)
 KW = dict(voxel_size=(0.1, 0.1, 0.2),
           pc_range=(-72.0, -72.0, -8.0, 72.0, 72.0, 0.0),
           grid_size=(1440, 1440, 40), max_points=10,

@@ -24,7 +24,7 @@ from cmtcoop_tpu.ops import pillars as pu
 from cmtcoop_tpu.ops.pillar_fused import fused_pillar_conv
 
 DT = jnp.bfloat16
-CAPS = (38400, 26624, 15360, 7168)
+CAPS = (38400, 40960, 24064, 11264)
 CHS = (16, 32, 64, 128)
 ZS = (41, 21, 11, 5)
 DOWN_ZPADS = (1, 1, 0)

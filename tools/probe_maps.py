@@ -22,7 +22,7 @@ from cmtcoop_tpu.ops import pillars as pu  # noqa: E402
 from cmtcoop_tpu.ops.pillars import pillarize  # noqa: E402
 from __graft_entry__ import _coop_batch  # noqa: E402
 
-CAPS = (38400, 26624, 15360, 7168)
+CAPS = (38400, 40960, 24064, 11264)
 MAP_WINS = (256, 448, 512)
 
 
@@ -30,7 +30,7 @@ def main():
     log("==== probe_maps (bench cloud, caps 38400/26624/15360/7168) ====")
     fetch_overhead()
     batch = _coop_batch(batch_size=1, n_points=65536, veh_views=0,
-                        infra_views=0)
+                        infra_views=0, img_hw=(32, 64))
     pts = batch["infrastructure_points"][0]
     msk = batch["infrastructure_points_mask"][0]
 

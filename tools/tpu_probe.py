@@ -145,7 +145,7 @@ def probe_camera(dtype=jnp.bfloat16, views=4, hw=(640, 1600)):
 
 
 def probe_lidar(dtype=jnp.bfloat16, max_pillars=49152,
-                pillar_caps=(38400, 26624, 15360, 7168)):
+                pillar_caps=(38400, 40960, 24064, 11264)):
     from cmtcoop_tpu.models.pillar_encoder import PillarSparseEncoder
     from cmtcoop_tpu.models.second import SECOND, SECONDFPN
     from cmtcoop_tpu.ops.pillars import pillarize
