@@ -35,7 +35,8 @@ def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
                   block: int = 128, window: int = 512,
                   exact: Optional[bool] = None,
                   return_overflow: bool = False,
-                  run: int = 1):
+                  run: int = 1,
+                  kernel: Optional[bool] = None):
     """(positions, hit[, overflow]) of *sorted* int32 queries in sorted
     int32 keys.
 
@@ -99,21 +100,34 @@ def sorted_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
         lambda s: jax.lax.dynamic_slice(keys_pad, (s,), (window,))
     )(starts)  # (nb, window) contiguous slices
 
-    # chunked compare-count so the (nb, block, window) broadcast never
-    # materializes (it would be GBs at production sizes). lt[d] counts
-    # keys < q + d for d in 0..run (lt[run] doubles as le of q+run-1).
-    chunk = min(128, window)
-
-    def body(carry, i):
-        wc = jax.lax.dynamic_slice_in_dim(windows, i * chunk, chunk, axis=1)
-        return tuple(
-            c + jnp.sum(wc[:, None, :] < q_blocks[:, :, None] + d, axis=-1,
-                        dtype=jnp.int32)
-            for d, c in enumerate(carry)), None
-
-    zeros = jnp.zeros((nb, block), jnp.int32)
-    counts, _ = jax.lax.scan(
-        body, (zeros,) * (run + 1), jnp.arange(window // chunk))
+    if kernel is None:
+        kernel = False  # A/B on v5e: Pallas 0.585 ms vs XLA 0.417 at L0
+    if kernel:
+        # Pallas compare-count (ops/lookup_kernel.py): bit-identical
+        # (oracle-tested) but slower than the unrolled XLA lowering at
+        # bench shapes — kept as a measured alternative, off by default.
+        from cmtcoop_tpu.ops.lookup_kernel import window_counts
+        c = window_counts(q_blocks, windows, run=run,
+                          interpret=jax.default_backend() != "tpu")
+        counts = [c[:, d] for d in range(run + 1)]
+    else:
+        # compare-count in (at most) 512-wide chunks, UNROLLED — the
+        # previous lax.scan chunking cost +35% in dispatch/carry overhead
+        # at bench shapes (tools/probe_lookup2.py: 0.45 -> 0.33 ms at L0).
+        # XLA fuses the broadcast-compare into the lane reduction, so the
+        # (nb, block, chunk) intermediate is never materialized. lt[d]
+        # counts keys < q + d for d in 0..run (lt[run] doubles as le of
+        # q+run-1).
+        chunk = min(512, window)
+        counts = [jnp.zeros((nb, block), jnp.int32)
+                  for _ in range(run + 1)]
+        for i in range(window // chunk):
+            wc = jax.lax.slice_in_dim(windows, i * chunk,
+                                      (i + 1) * chunk, axis=1)
+            counts = [
+                cc + jnp.sum(wc[:, None, :] < q_blocks[:, :, None] + d,
+                             axis=-1, dtype=jnp.int32)
+                for d, cc in enumerate(counts)]
 
     def resolve(d):
         pos = jnp.minimum(starts[:, None] + counts[d], next_starts[:, None])

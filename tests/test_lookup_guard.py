@@ -167,3 +167,26 @@ def test_sorted_lookup_run_matches_independent(rng):
             np.testing.assert_array_equal(
                 np.asarray(pos[:, d])[real], np.asarray(pd)[real],
                 err_msg=f"exact={exact} d={d}")
+
+
+def test_sorted_lookup_kernel_matches_xla(rng):
+    """The Pallas compare-count path (kernel=True, interpret on CPU) must
+    be bit-identical to the XLA windowed path across runs and paddings."""
+    for n_keys, n_q, run in [(3000, 1000, 3), (500, 128, 1),
+                             (4096, 4096, 2)]:
+        keys = np.sort(rng.choice(100000, size=n_keys, replace=False)
+                       ).astype(np.int32)
+        queries = np.sort(rng.choice(100000, size=n_q, replace=False)
+                          ).astype(np.int32)
+        # sentinel tail like real callers
+        queries[-n_q // 8:] = np.iinfo(np.int32).max
+        kj, qj = jnp.asarray(keys), jnp.asarray(np.sort(queries))
+        pos_k, hit_k, ovf_k = su.sorted_lookup(
+            kj, qj, run=run, exact=False, return_overflow=True,
+            kernel=True)
+        pos_x, hit_x, ovf_x = su.sorted_lookup(
+            kj, qj, run=run, exact=False, return_overflow=True,
+            kernel=False)
+        np.testing.assert_array_equal(np.asarray(pos_k), np.asarray(pos_x))
+        np.testing.assert_array_equal(np.asarray(hit_k), np.asarray(hit_x))
+        assert bool(ovf_k) == bool(ovf_x)

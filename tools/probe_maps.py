@@ -26,8 +26,15 @@ CAPS = (38400, 40960, 24064, 11264)
 MAP_WINS = (256, 448, 512)
 
 
+def ieps(c):
+    """Runtime-zero int perturbation the algebraic simplifier can NOT fold
+    (int * 0 and float * 0 both fold; (c * 1e-30).astype(int32) cannot —
+    the carry's value is unknown at compile time)."""
+    return (c * 1e-30).astype(jnp.int32)
+
+
 def main():
-    log("==== probe_maps (bench cloud, caps 38400/26624/15360/7168) ====")
+    log(f"==== probe_maps (bench cloud, caps {CAPS}) ====")
     fetch_overhead()
     batch = _coop_batch(batch_size=1, n_points=65536, veh_views=0,
                         infra_views=0, img_hw=(32, 64))
@@ -45,10 +52,13 @@ def main():
     g = pu.PillarGrid(pc, pm, (1440, 1440), 41)
     grids.append(g)
     for i in range(3):
-        g = jax.jit(lambda c, m, hw, z, cap: pu.pillar_downsample_grid(
+        og = jax.jit(lambda c, m, hw, z, cap: pu.pillar_downsample_grid(
             pu.PillarGrid(c, m, hw, z), cap),
             static_argnums=(2, 3, 4))(g.coords, g.mask, g.hw, g.z,
                                       CAPS[i + 1])
+        # the jitted call traces hw into arrays; rebuild statically
+        hw = ((g.hw[0] + 2 - 3) // 2 + 1, (g.hw[1] + 2 - 3) // 2 + 1)
+        g = pu.PillarGrid(og.coords, og.mask, hw, g.z)
         grids.append(g)
         log(f"  level{i+1}: hw={g.hw} occ={int(g.mask.sum())}"
             f" cap={CAPS[i+1]}")
@@ -56,10 +66,10 @@ def main():
     for i, g in enumerate(grids):
         def subm(c, cm, g=g):
             nb = pu.pillar_neighbor_map(
-                pu.PillarGrid(cm[0] + c.astype(jnp.int32) * 0, cm[1],
+                pu.PillarGrid(cm[0] + ieps(c), cm[1],
                               g.hw, g.z))
             return jnp.sum(nb).astype(jnp.float32) * 1e-20
-        loop_time(subm, (g.coords, g.mask), None,
+        loop_time(subm, (g.coords, g.mask),
                   name=f"  subm map L{i} (P={g.coords.shape[0]})", n=20)
 
     for i in range(3):
@@ -67,21 +77,21 @@ def main():
 
         def down_grid(c, cm, gi=gi, cap=cap):
             og = pu.pillar_downsample_grid(
-                pu.PillarGrid(cm[0] + c.astype(jnp.int32) * 0, cm[1],
+                pu.PillarGrid(cm[0] + ieps(c), cm[1],
                               gi.hw, gi.z), cap)
             return jnp.sum(og.coords).astype(jnp.float32) * 1e-20
-        loop_time(down_grid, (gi.coords, gi.mask), None,
+        loop_time(down_grid, (gi.coords, gi.mask),
                   name=f"  down grid L{i}->L{i+1}", n=20)
 
         go = grids[i + 1]
 
         def conv_map(c, cm, gi=gi, go=go, w=MAP_WINS[i]):
             nb = pu.pillar_conv_neighbor_map(
-                pu.PillarGrid(cm[0] + c.astype(jnp.int32) * 0, cm[1],
+                pu.PillarGrid(cm[0] + ieps(c), cm[1],
                               gi.hw, gi.z),
                 go, window=w)
             return jnp.sum(nb).astype(jnp.float32) * 1e-20
-        loop_time(conv_map, (gi.coords, gi.mask), None,
+        loop_time(conv_map, (gi.coords, gi.mask),
                   name=f"  conv map L{i}->L{i+1} (win {MAP_WINS[i]})", n=20)
 
 
