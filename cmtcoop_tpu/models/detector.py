@@ -58,7 +58,9 @@ class FeatureExtractor(nn.Module):
     # "pillar" = pillar-dense encoder (fast path, same function);
     # "gather" = per-voxel gather encoder (reference implementation)
     encoder_impl: str = "pillar"
-    pillar_caps: Sequence[int] = (40000, 48000, 28000, 13056)
+    # calibrated on ray-cast OS1-64 clouds (dilation-aware, 20% margin);
+    # 256-divisible so subm convs run 256-pillar kernel blocks
+    pillar_caps: Sequence[int] = (38400, 40960, 24064, 11264)
     second_channels: Sequence[int] = (128, 256)
     second_layers: Sequence[int] = (5, 5)
     fpn_channels: Sequence[int] = (256, 256)

@@ -33,6 +33,7 @@ class PillarConv(nn.Module):
     # measured p99 spans: subm ~160 at every level, down (~180, ~370, ~490)
     win: int = 256
     subm: bool = False
+    bp: int = 128  # output pillars per kernel block (M dim of the matmuls)
 
     @nn.compact
     def __call__(self, feats, nbr, scale=None, bias=None, occ_out=None,
@@ -70,7 +71,7 @@ class PillarConv(nn.Module):
                 return fused_pillar_conv(
                     a[0], a[1], w, kz=self.kz, z_stride=self.z_stride,
                     z_pad=self.z_pad, scale=scale, bias=bias, relu=relu,
-                    win=self.win, subm=self.subm,
+                    win=self.win, subm=self.subm, bp=self.bp,
                     packed_shape=packed_shape,
                     emit_occ_lanes=emit_occ_lanes, **kw)
             # sequential over batch: the kernel saturates the chip per
@@ -103,6 +104,7 @@ class PillarConvBlock(nn.Module):
     dtype: Any = jnp.float32
     win: int = 256
     subm: bool = False
+    bp: int = 128
 
     @nn.compact
     def __call__(self, feats, nbr, occ_out, train: bool = False,
@@ -110,7 +112,8 @@ class PillarConvBlock(nn.Module):
                  packed_shape=None, emit_occ_lanes: bool = False):
         conv = PillarConv(self.features, self.kernel_volume, self.kz,
                           self.z_stride, self.z_pad, self.dtype,
-                          win=self.win, subm=self.subm, name="conv")
+                          win=self.win, subm=self.subm, bp=self.bp,
+                          name="conv")
         bn = MaskedBatchNorm(dtype=self.dtype, name="bn")
         if not train:
             s, b = bn(jnp.zeros((1, self.features)), fold=True)
@@ -133,16 +136,19 @@ class PillarBasicBlock(nn.Module):
     features: int
     dtype: Any = jnp.float32
     win: int = 256
+    bp: int = 128
 
     @nn.compact
     def __call__(self, feats, nbr, occ, train: bool = False,
                  packed_shape=None, emit_occ_lanes: bool = False):
         identity = feats
         conv1 = PillarConv(self.features, 27, 3, 1, 1, self.dtype,
-                           win=self.win, subm=True, name="conv1")
+                           win=self.win, subm=True, bp=self.bp,
+                           name="conv1")
         bn1 = MaskedBatchNorm(dtype=self.dtype, name="bn1")
         conv2 = PillarConv(self.features, 27, 3, 1, 1, self.dtype,
-                           win=self.win, subm=True, name="conv2")
+                           win=self.win, subm=True, bp=self.bp,
+                           name="conv2")
         bn2 = MaskedBatchNorm(dtype=self.dtype, name="bn2")
         if not train:
             s1, b1 = bn1(jnp.zeros((1, self.features)), fold=True)
@@ -172,8 +178,10 @@ class PillarSparseEncoder(nn.Module):
     # mid-level caps sit ABOVE the L0 cap: a k3/s2 conv DILATES BEV
     # occupancy (~1.2x at lidar densities) before merging wins at
     # deeper levels (measured 31k -> 36.8k -> 21.4k -> 9.9k on
-    # ray-cast OS1-64 clouds); descending caps silently truncate
-    pillar_caps: Sequence[int] = (40000, 48000, 28000, 13056)
+    # ray-cast OS1-64 clouds); descending caps silently truncate.
+    # 256-divisible so the subm convs can run 256-pillar kernel blocks
+    # (bigger M amortizes MXU fill/drain — measured ~9% per conv)
+    pillar_caps: Sequence[int] = (38400, 40960, 24064, 11264)
     # PER-DY-ROW window sizes for the v2 fused kernel (one window per
     # kernel row instead of one union window — ops/pillar_fused.py).
     # Measured per-dy p100 spans on two realistic clouds: subm <=178 at
@@ -183,6 +191,15 @@ class PillarSparseEncoder(nn.Module):
     # gather FLOP saving cancels against retry-plan overhead).
     subm_wins: Sequence[int] = (256, 256, 256, 256)
     down_wins: Sequence[int] = (384, 512, 640)
+    # kernel block size (output pillars per block) for the subm convs.
+    # bp=256 measures 7-11% faster standalone (probe_pillar_kernel) but
+    # LOSES in-encoder at every stage (probe_encoder 23:03 vs 22:31:
+    # s1 16.03 vs 16.66 ms, full 26.0 vs 27.2): real clouds carry ~15%
+    # dead blocks (cap margin + empty regions) that the in-kernel
+    # dead-block gate skips at bp granularity, and halving granularity
+    # forfeits more than the MXU fill saving. Spans are NOT the issue
+    # (probe_spans: p100 302 @ bp256 < win 384). Keep 128.
+    subm_bp: int = 128
     # per-level lookup windows for the strided-conv neighbor maps
     # (measured p100 spans ~225/~400/~490; overflow -> exact fallback)
     down_map_wins: Sequence[int] = (256, 448, 512)
@@ -241,8 +258,18 @@ class PillarSparseEncoder(nn.Module):
         def pshape(ch):
             return None if train else (zdim, ch)
 
+        def subm_plan(level):
+            """(bp, win) for this level's subm convs: bp=256 when the cap
+            allows, widening the per-dy window by the extra block rows."""
+            if self.subm_bp > 128 and self.pillar_caps[level] % \
+                    self.subm_bp == 0:
+                return self.subm_bp, self.subm_wins[level] + (
+                    self.subm_bp - 128)
+            return 128, self.subm_wins[level]
+
+        bp0, win0 = subm_plan(0)
         x = PillarConvBlock(self.base_channels, 27, 3, 1, 1, self.dtype,
-                            win=self.subm_wins[0], subm=True,
+                            win=win0, subm=True, bp=bp0,
                             name="conv_input")(
                                 x, nbr, occ, train,
                                 packed_shape=pshape(c_in0))
@@ -254,10 +281,11 @@ class PillarSparseEncoder(nn.Module):
         for i, blocks in enumerate(self.encoder_channels):
             ch = blocks[0]
             n_sbb = len(blocks) - (0 if i == n_stages - 1 else 1)
+            bp_i, win_i = subm_plan(i)
             for j in range(n_sbb):
                 last_sbb = j == n_sbb - 1 and i != n_stages - 1
                 x = PillarBasicBlock(
-                    ch, self.dtype, win=self.subm_wins[i],
+                    ch, self.dtype, win=win_i, bp=bp_i,
                     name=f"stage{i}_block{j}")(
                         x, nbr, occ, train, packed_shape=pshape(ch),
                         emit_occ_lanes=last_sbb and not train)

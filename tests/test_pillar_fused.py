@@ -370,3 +370,26 @@ def test_packed_chain_matches_3d(rng):
     z_out = (z + 2 - 3) // 2 + 1
     _check(outp[:, :z_out * co].reshape(p, z_out, co), out3, tol=2e-4)
     np.testing.assert_array_equal(np.asarray(occp), np.asarray(occ3))
+
+
+def test_bp256_subm_parity(rng):
+    """bp=256 kernel blocks (the encoder's subm default at 256-divisible
+    caps) match the XLA reference, including the zwin path (z=41, C=16)
+    and the adjacency shift slices across the wider mid window."""
+    grid, _ = _grid(rng, hw=(48, 48), z=41, p_cap=512, density=0.35)
+    z, c = 41, 16
+    p = grid.coords.shape[0]
+    nbr = pu.pillar_neighbor_map(grid)
+    occ = rng.uniform(size=(p, z)) < 0.3
+    occ &= np.asarray(grid.mask)[:, None]
+    feats = (rng.normal(size=(p, z, c)) * occ[..., None]).astype(np.float32)
+    w = rng.normal(size=(27, c, c)).astype(np.float32) * 0.2
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    got = fused_pillar_conv(
+        jnp.asarray(feats), nbr, jnp.asarray(w), scale=scale, bias=bias,
+        occ_out=jnp.asarray(occ), relu=True, subm=True, bp=256, win=384,
+        interpret=True)
+    ref = _xla_reference(jnp.asarray(feats), nbr, jnp.asarray(w), 3, 1, 1,
+                         scale, bias, jnp.asarray(occ), None, True)
+    _check(got, ref, tol=2e-4)

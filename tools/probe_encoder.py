@@ -31,7 +31,11 @@ def main():
     from cmtcoop_tpu.models.pillar_encoder import PillarSparseEncoder
     from cmtcoop_tpu.ops.pillars import pillarize
 
-    log("==== probe_encoder cumulative (debug_stop) ====")
+    subm_bp = int(os.environ.get("CMTCOOP_PROBE_SUBM_BP", "128"))
+    wins = tuple(int(w) for w in os.environ.get(
+        "CMTCOOP_PROBE_SUBM_WINS", "256,256,256,256").split(","))
+    log(f"==== probe_encoder cumulative (debug_stop) subm_bp={subm_bp} "
+        f"wins={wins} ====")
     fetch_overhead()
     pts, mask = bench_cloud()
     prebuilt = jax.tree.map(
@@ -41,7 +45,8 @@ def main():
         sparse_shape=(41, 1440, 1440), base_channels=16,
         encoder_channels=((16, 16, 32), (32, 32, 64), (64, 64, 128),
                           (128, 128)),
-        output_channels=128, pillar_caps=CAPS, dtype=DT)
+        output_channels=128, pillar_caps=CAPS, dtype=DT,
+        subm_bp=subm_bp, subm_wins=wins)
     params = jax.jit(lambda k, pb: enc.init(
         k, None, None, None, False, prebuilt=pb))(
         jax.random.PRNGKey(0), prebuilt)
