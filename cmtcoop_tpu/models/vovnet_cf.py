@@ -108,7 +108,31 @@ def _maxpool_cf(x_flat, h, w, rt=8):
     return y.reshape(v, c, rows2 * wp2), h2, w2
 
 
-def _osa_cf(x_cf, p, bs, identity, h, w, dtype, rt=8):
+def _osa_xla(x_nhwc, p, bs, identity, dtype):
+    """One OSA block in plain NHWC XLA (stage-2 fast path: 128/256
+    channels are exact 128-lane multiples, so XLA's conv pays no channel
+    padding and its layout-fused convs beat the cf kernel's per-block
+    overheads at 160x400 — composed A/B in runs/tpu_probe.log)."""
+    outputs = [x_nhwc]
+    y = x_nhwc
+    for i in range(5):
+        if f"conv{i}" not in p:
+            break
+        y = _convbn_xla(y, p[f"conv{i}"], bs[f"conv{i}"], 1, dtype=dtype)
+        outputs.append(y)
+    cat = jnp.concatenate(outputs, axis=-1)
+    agg = _convbn_xla(cat, p["concat"], bs["concat"], 1, dtype=dtype)
+    s = jnp.mean(agg.astype(jnp.float32), axis=(1, 2))
+    s = s @ p["ese"]["fc"]["kernel"][0, 0].astype(jnp.float32) \
+        + p["ese"]["fc"]["bias"].astype(jnp.float32)
+    s = (jnp.clip(s + 3.0, 0.0, 6.0) / 6.0).astype(agg.dtype)
+    out = agg * s[:, None, None, :]
+    if identity:
+        out = out + x_nhwc
+    return out
+
+
+def _osa_cf(x_cf, p, bs, identity, h, w, dtype, rt=8, mstack=True):
     """One OSA block, cf in -> cf out (same layout)."""
     layer_out = [x_cf]
     y = x_cf
@@ -119,7 +143,8 @@ def _osa_cf(x_cf, p, bs, identity, h, w, dtype, rt=8):
         scale, bias = _fold_bn(cp["BatchNorm_0"],
                                bs[f"conv{i}"]["BatchNorm_0"])
         y = conv3x3_cf(y, cp["Conv_0"]["kernel"].astype(dtype), h, w,
-                       scale=scale, bias=bias, relu=True, rt=rt)
+                       scale=scale, bias=bias, relu=True, rt=rt,
+                       mstack=mstack)
         layer_out.append(y)
     # fused aggregate kernel: 1x1 conv over the (virtual) channel concat
     # + BN + ReLU + pad mask + eSE GAP sums in ONE pass over the parts
@@ -144,7 +169,9 @@ def vovnet_cf(variables: Dict[str, Any], x_nhwc: jnp.ndarray,
               spec_name: str, out_features: Sequence[str],
               dtype=jnp.bfloat16, rt: int = 8,
               stop_after: str = None,
-              stem_impl: str = "xla") -> Dict[str, jnp.ndarray]:
+              stem_impl: str = "xla",
+              stage2_impl: str = "cf",
+              mstack: bool = True) -> Dict[str, jnp.ndarray]:
     """Eval forward matching `VoVNet.__call__` (NHWC in/out).
 
     `stop_after` ("stem" / "stage2" .. "stage5") truncates the graph for
@@ -183,14 +210,27 @@ def vovnet_cf(variables: Dict[str, Any], x_nhwc: jnp.ndarray,
         return {"_debug": x}
 
     v, h, w, _ = x.shape
-    flat = to_cf(x, rt)
-    for i in range(4):
+    if stage2_impl == "xla":
+        for b in range(spec["block_per_stage"][0]):
+            x = _osa_xla(x, p[f"stage2_block{b}"], bs[f"stage2_block{b}"],
+                         b > 0, dtype)
+        if "stage2" in out_features:
+            outputs["stage2"] = x
+        flat = to_cf(x, rt)
+        if stop_after == "stage2":
+            return {"_debug": flat}
+        start_stage = 1
+    else:
+        flat = to_cf(x, rt)
+        start_stage = 0
+    for i in range(start_stage, 4):
         name = f"stage{i + 2}"
         if i != 0:
             flat, h, w = _maxpool_cf(flat, h, w, rt)
         for b in range(spec["block_per_stage"][i]):
             flat = _osa_cf(flat, p[f"{name}_block{b}"],
-                           bs[f"{name}_block{b}"], b > 0, h, w, dtype, rt)
+                           bs[f"{name}_block{b}"], b > 0, h, w, dtype,
+                           rt, mstack)
         if name in out_features:
             outputs[name] = from_cf(flat, h, w)
         if stop_after == name:

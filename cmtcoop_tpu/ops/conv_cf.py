@@ -87,7 +87,7 @@ def lane_mask(h: int, w: int, rt: int = 8, dtype=jnp.float32):
 
 
 def _conv_kernel(w_ref, sb_ref, x_hbm, o_ref, win, k3buf, sem, *, rt, wp,
-                 cin, cout, h, w, relu, nb, resid_ref=None):
+                 cin, cout, h, w, relu, nb, mstack, resid_ref=None):
     bb = pl.program_id(1)
     v = pl.program_id(0)
     nl = rt * wp
@@ -145,18 +145,30 @@ def _conv_kernel(w_ref, sb_ref, x_hbm, o_ref, win, k3buf, sem, *, rt, wp,
                 (cin, wp), k3buf.dtype)
 
         c3 = k3buf[...]
-        acc = jnp.zeros((cout, nl), jnp.float32)
-        z0 = jax.lax.dot_general(
-            w_ref[0], c3, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = pltpu.roll(z0, 1, 1)
-        acc += jax.lax.dot_general(
-            w_ref[1], c3, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        z2 = jax.lax.dot_general(
-            w_ref[2], c3, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc += pltpu.roll(z2, nl - 1, 1)
+        if mstack:
+            # ONE (3*Cout, 3*Cin) @ C matmul: stacking the dx taps along
+            # M cuts the MXU's 128-row M-pass padding (cout 160: 3x2
+            # passes -> 4; 192: 6 -> 5); the chunks then combine with the
+            # same lane rolls
+            z = jax.lax.dot_general(
+                w_ref[...].reshape(3 * cout, 3 * cin), c3,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = pltpu.roll(z[0:cout], 1, 1)
+            acc += z[cout:2 * cout]
+            acc += pltpu.roll(z[2 * cout:3 * cout], nl - 1, 1)
+        else:
+            z0 = jax.lax.dot_general(
+                w_ref[0], c3, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = pltpu.roll(z0, 1, 1)
+            acc += jax.lax.dot_general(
+                w_ref[1], c3, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            z2 = jax.lax.dot_general(
+                w_ref[2], c3, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc += pltpu.roll(z2, nl - 1, 1)
 
         y = acc * sb_ref[0][:, None] + sb_ref[1][:, None]
         if resid_ref is not None:
@@ -184,6 +196,7 @@ def conv3x3_cf(
     relu: bool = True,
     rt: int = 8,
     residual: Optional[jnp.ndarray] = None,  # (V, Cout, NL) cf layout
+    mstack: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused 3x3 stride-1 conv (+BN eval affine) (+residual) (+ReLU),
@@ -196,9 +209,10 @@ def conv3x3_cf(
         interpret = jax.default_backend() != "tpu"
     esize = jnp.dtype(x.dtype).itemsize
     while rt > 4:  # shrink row tile if scratch would blow VMEM
+        ztmp = 5 if mstack else 4
         vmem = ((NSLOT * cin * rt * wp + 3 * cin * rt * wp
                  + cout * rt * wp + 9 * cout * cin) * esize
-                + 4 * cout * rt * wp * 4)  # acc + z + roll temps (f32)
+                + ztmp * cout * rt * wp * 4)  # acc + z + roll temps (f32)
         if vmem <= 11 * 2 ** 20:
             break
         rt //= 2
@@ -227,7 +241,7 @@ def conv3x3_cf(
     ]
     operands = [wk, sb, x]
     kw = dict(rt=rt, wp=wp, cin=cin, cout=cout, h=h, w=w, relu=relu,
-              nb=nb)
+              nb=nb, mstack=mstack)
     if residual is not None:
         body = functools.partial(_conv_kernel_resid, **kw)
         in_specs.append(pl.BlockSpec(

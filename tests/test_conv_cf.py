@@ -23,13 +23,14 @@ def xla_conv(x, w):
         preferred_element_type=jnp.float32)
 
 
+@pytest.mark.parametrize("mstack", [False, True])
 @pytest.mark.parametrize("v,h,w,cin,cout,relu,resid", [
     (1, 16, 24, 8, 16, True, False),
     (2, 16, 20, 16, 8, False, False),
     (1, 13, 50, 32, 16, True, False),     # H % rt != 0
     (1, 11, 10, 16, 16, True, True),      # residual
 ])
-def test_conv3x3_cf(v, h, w, cin, cout, relu, resid):
+def test_conv3x3_cf(v, h, w, cin, cout, relu, resid, mstack):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(v, h, w, cin)), jnp.float32)
     wt = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.1, jnp.float32)
@@ -46,7 +47,8 @@ def test_conv3x3_cf(v, h, w, cin, cout, relu, resid):
         ref = jnp.maximum(ref, 0.0)
 
     out = conv3x3_cf(to_cf(x), wt, h, w, scale=scale, bias=bias,
-                     relu=relu, residual=rs, interpret=True)
+                     relu=relu, residual=rs, mstack=mstack,
+                     interpret=True)
     got = from_cf(out, h, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)

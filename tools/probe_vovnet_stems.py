@@ -35,14 +35,15 @@ def main():
         jax.random.PRNGKey(0), x)
 
     for rep in range(2):
-        for impl in ("xla_wpacked", "xla", "cf2"):
-            def fn(c, pr, x_, impl=impl):
+        for s2 in ("cf", "xla"):
+            def fn(c, pr, x_, s2=s2):
                 outs = vovnet_cf(pr, x_ + c.astype(DT) * 0, "V-99-eSE",
                                  ("stage4", "stage5"), dtype=DT,
-                                 stem_impl=impl)
+                                 stem_impl="xla", stage2_impl=s2,
+                                 mstack=True)
                 return sum(o.astype(jnp.float32).sum() * 1e-20
                            for o in outs.values())
-            loop_time(fn, params, x, name=f"  FULL stem={impl} rep{rep}",
+            loop_time(fn, params, x, name=f"  FULL stage2={s2} rep{rep}",
                       n=10)
 
 
