@@ -1,8 +1,9 @@
 """Channels-first fused-eval forward for VoVNet (TPU fast path).
 
 A pure function over the flax `VoVNet` variable tree (same params /
-batch_stats — nothing new to train or convert): stem convs run through
-XLA (3-channel input, stride 2), every OSA 3x3 conv runs through the
+batch_stats — nothing new to train or convert): stem convs run
+width-packed (columns folded into channels by free reshapes — fills the
+128 lanes that a 3/64-channel conv would pad), every OSA 3x3 conv runs through the
 `conv3x3_cf` Pallas kernel (K packs 3*Cin: no 128-lane channel padding,
 measured 39% -> 60%+ of bf16 peak at VoVNet-99's 160-224 channel counts),
 and the OSA concat+1x1 aggregate is rewritten as a concat-free sum of
@@ -76,6 +77,63 @@ def _convbn_s2_wpacked(x_nhwc, p, bs, dtype=jnp.bfloat16):
         preferred_element_type=jnp.float32)
     scale, bias = _fold_bn(p["BatchNorm_0"], bs["BatchNorm_0"])
     return jnp.maximum(y * scale + bias, 0.0).astype(dtype)
+
+
+def _wpack_conv(x, p, bs, kh, s, pi, po, pl=1, dtype=jnp.bfloat16):
+    """Width-packed conv+BN+ReLU: `x` is (V, H, WB, Pi*Cin) — Pi image
+    columns folded into channels (a FREE reshape of NHWC row-major data).
+    Requires s * Po == Pi, which turns the width stride into pure
+    packing: the output is (V, H', WB', Po*Cout) with width stride 1.
+
+    Why: the VoVNet stem's 3/64-channel convs run at <20% efficiency on
+    TPU — the (8,128) tile pads the minor channel dim 3->128 (a measured
+    4.1 ms relayout copy of the input + 2.4 ms stem1 at bench shapes,
+    tools/probe_trace.py). Packing columns into channels fills the lanes
+    with REAL data; the rearranged kernel computes bit-identical math
+    (taps map to (block offset t, in-block column q): q + Pi*t =
+    s*p - pl + dx)."""
+    k = p["Conv_0"]["kernel"]                        # (kh, kw, Cin, Cout)
+    kw, cin, cout = k.shape[1], k.shape[2], k.shape[3]
+    assert s * po == pi and x.shape[-1] == pi * cin
+    taps = [(dx, px) for px in range(po) for dx in range(kw)]
+    ts = [(s * px - pl + dx) // pi for dx, px in taps]
+    tmin, tmax = min(ts), max(ts)
+    kw2 = tmax - tmin + 1
+    k2 = jnp.zeros((kh, kw2, pi * cin, po * cout), k.dtype)
+    for dx in range(kw):
+        for px in range(po):
+            g = s * px - pl + dx
+            t, q = g // pi - tmin, g % pi
+            k2 = k2.at[:, t, q * cin:(q + 1) * cin,
+                       px * cout:(px + 1) * cout].set(k[:, dx])
+    ph = (kh - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), k2.astype(dtype), (s, 1),
+        ((ph, ph), (-tmin, max(tmax, 0))),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    scale, bias = _fold_bn(p["BatchNorm_0"], bs["BatchNorm_0"])
+    sc = jnp.tile(scale, po)
+    bi = jnp.tile(bias, po)
+    return jnp.maximum(y * sc + bi, 0.0).astype(dtype)
+
+
+def _stem_wpack(x_nhwc, p, bs, dtype=jnp.bfloat16):
+    """All three stem convs width-packed; returns standard NHWC
+    (V, H/4, W/4, 128). Every repack between convs is a free reshape
+    (pack-major column order == row-major width order)."""
+    v, h, w, c = x_nhwc.shape
+    assert c == 3 and h % 4 == 0 and w % 16 == 0
+    x = x_nhwc.reshape(v, h, w // 4, 12)             # pack4, free
+    x = _wpack_conv(x, p["stem1"], bs["stem1"], 3, 2, 4, 2, dtype=dtype)
+    # (V, H/2, W/4, 2*64) pack2 -> pack2 (s=1: pi=po=2)
+    x = _wpack_conv(x, p["stem2"], bs["stem2"], 3, 1, 2, 2, dtype=dtype)
+    # repack 2 -> 4 (free reshape), stem3 s2 -> pack2 of 128
+    vb, hb, wb, cc = x.shape
+    x = x.reshape(vb, hb, wb // 2, 2 * cc)
+    x = _wpack_conv(x, p["stem3"], bs["stem3"], 3, 2, 4, 2, dtype=dtype)
+    vb, hb, wb, cc = x.shape
+    return x.reshape(vb, hb, wb * 2, cc // 2)        # unpack, free
 
 
 def _ese_cf(x_flat, p, h, w):
@@ -169,16 +227,19 @@ def vovnet_cf(variables: Dict[str, Any], x_nhwc: jnp.ndarray,
               spec_name: str, out_features: Sequence[str],
               dtype=jnp.bfloat16, rt: int = 8,
               stop_after: str = None,
-              stem_impl: str = "xla",
+              stem_impl: str = "wpack",
               stage2_impl: str = "cf",
               mstack: bool = True) -> Dict[str, jnp.ndarray]:
     """Eval forward matching `VoVNet.__call__` (NHWC in/out).
 
     `stop_after` ("stem" / "stage2" .. "stage5") truncates the graph for
     cumulative probe timings (tools/probe_vovnet_cf.py); `stem_impl`
-    selects the stem lowering (probing): "xla" (all direct convs, the
-    default), "xla_wpacked" (stem3 width-packed), "cf2" (cf kernel for
-    stem2)."""
+    selects the stem lowering: "wpack" (default — all three stem convs
+    width-packed via free reshapes, kills the 3-channel input relayout
+    copy + the lane-padded 3/64-ch convs: FULL 29.1 -> 28.0 ms and the
+    4.1 ms in-model image relayout disappears, probe_trace), "xla"
+    (direct convs), "xla_wpacked" (stem3 width-packed only), "cf2" (cf
+    kernel for stem2)."""
     p = variables["params"]
     bs = variables["batch_stats"]
     spec = STAGE_SPECS[spec_name]
@@ -188,6 +249,15 @@ def vovnet_cf(variables: Dict[str, Any], x_nhwc: jnp.ndarray,
     # 34.74 with a width-packed stem3 — both "clever" variants win
     # isolated but LOSE composed (XLA layout propagation), so the stem
     # stays on plain strided convs.
+    if stem_impl == "wpack":
+        x = _stem_wpack(x_nhwc, p, bs, dtype=dtype)
+        outputs = {}
+        if "stem" in out_features:
+            outputs["stem"] = x
+        if stop_after == "stem":
+            return {"_debug": x}
+        return _stages_cf(x, p, bs, spec, out_features, outputs, dtype,
+                          rt, stop_after, stage2_impl, mstack)
     x = _convbn_xla(x_nhwc, p["stem1"], bs["stem1"], 2, dtype=dtype)
     if stem_impl == "cf2":
         h2, w2 = x.shape[1], x.shape[2]
@@ -209,6 +279,13 @@ def vovnet_cf(variables: Dict[str, Any], x_nhwc: jnp.ndarray,
     if stop_after == "stem":
         return {"_debug": x}
 
+    return _stages_cf(x, p, bs, spec, out_features, outputs, dtype, rt,
+                      stop_after, stage2_impl, mstack)
+
+
+def _stages_cf(x, p, bs, spec, out_features, outputs, dtype, rt,
+               stop_after, stage2_impl, mstack):
+    """Stages 2-5 from a stem NHWC map (shared by all stem variants)."""
     v, h, w, _ = x.shape
     if stage2_impl == "xla":
         for b in range(spec["block_per_stage"][0]):

@@ -105,6 +105,23 @@ def test_lane_mask():
     assert grid[:5, :10].all() and grid[5:].sum() == 0
 
 
+def test_wpack_stem_matches_flax():
+    """Width-packed stem (free-reshape column packing, rearranged
+    kernels) is bit-near-exact vs the flax stem convs."""
+    from cmtcoop_tpu.models.vovnet import VoVNet
+    from cmtcoop_tpu.models.vovnet_cf import vovnet_cf
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 3)), jnp.float32)
+    net = VoVNet("V-19-slim-eSE", ("stem",), dtype=jnp.float32)
+    varz = net.init(jax.random.PRNGKey(0), x, False)
+    ref = net.apply(varz, x, False)["stem"]
+    got = vovnet_cf(varz, x, "V-19-slim-eSE", ("stem",),
+                    dtype=jnp.float32, stem_impl="wpack",
+                    stop_after="stem")["_debug"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_vovnet_cf_matches_flax():
     from cmtcoop_tpu.models.vovnet import VoVNet

@@ -35,15 +35,14 @@ def main():
         jax.random.PRNGKey(0), x)
 
     for rep in range(2):
-        for s2 in ("cf", "xla"):
-            def fn(c, pr, x_, s2=s2):
+        for impl in ("xla", "wpack"):
+            def fn(c, pr, x_, impl=impl):
                 outs = vovnet_cf(pr, x_ + c.astype(DT) * 0, "V-99-eSE",
                                  ("stage4", "stage5"), dtype=DT,
-                                 stem_impl="xla", stage2_impl=s2,
-                                 mstack=True)
+                                 stem_impl=impl, mstack=True)
                 return sum(o.astype(jnp.float32).sum() * 1e-20
                            for o in outs.values())
-            loop_time(fn, params, x, name=f"  FULL stage2={s2} rep{rep}",
+            loop_time(fn, params, x, name=f"  FULL stem={impl} rep{rep}",
                       n=10)
 
 
