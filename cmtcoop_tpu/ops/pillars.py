@@ -148,11 +148,14 @@ def pillar_neighbor_map(grid: PillarGrid,
 
     def dy_cols(dy):
         base = jnp.where(m, lin + dy * w - 1, INT32_MAX)
-        # measured p100 span <=178 per 128-query block on realistic
-        # clouds; the overflow guard falls back to exact on violation
+        # block 512: the windowed lookup is DMA-latency bound in its
+        # per-block window slices, so fewer/larger blocks win (0.417 ->
+        # 0.212 ms at L0, tools/probe_lookup.py). Window scales with the
+        # block (span <= block + row spread, measured spread p100 ~50);
+        # the overflow guard falls back to exact on violation.
         pos, hit, ovf = sorted_lookup(
-            lin, base, run=3, window=256, return_overflow=True,
-            exact=exact)
+            lin, base, run=3, block=512, window=640,
+            return_overflow=True, exact=exact)
         yv = (y + dy >= 0) & (y + dy < h) & m
         cols = []
         for d, dx in enumerate((-1, 0, 1)):
@@ -389,7 +392,9 @@ def pillars_to_dense(grid: PillarGrid, feats: jnp.ndarray) -> jnp.ndarray:
     p, z, c = feats.shape
     lin = grid.linear_ids
     cells = jnp.arange(h * w, dtype=jnp.int32)
-    pos, hit = sorted_lookup(lin, cells, window=256)
+    # keys are a subset of the dense cells, so a 512-query block spans
+    # <= 512 keys; big blocks amortize the per-block window DMA latency
+    pos, hit = sorted_lookup(lin, cells, block=512, window=640)
     rows = feats.reshape(p, z * c)
     dense = jnp.where(hit[:, None], rows[jnp.minimum(pos, p - 1)], 0.0)
     return dense.reshape(h, w, z * c)

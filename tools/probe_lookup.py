@@ -38,15 +38,15 @@ def main():
     lin = jnp.where(pm, pc[:, 0] * w + pc[:, 1], INT32_MAX)
     base = jnp.where(pm, lin - w - 1, INT32_MAX)
 
-    for kern in (False, True):
-        def full(c, lin, base, kern=kern):
+    for blk, win in ((128, 256), (256, 384), (512, 640), (1024, 1152)):
+        def full(c, lin, base, blk=blk, win=win):
             pos, hit, ovf = sorted_lookup(
-                lin + ieps(c), base, run=3, window=256,
-                return_overflow=True, kernel=kern)
+                lin + ieps(c), base, run=3, window=win, block=blk,
+                return_overflow=True)
             return (jnp.sum(pos) + jnp.sum(hit) + ovf).astype(
                 jnp.float32) * 1e-20
         loop_time(full, lin, base,
-                  name=f"  sorted_lookup run3 win256 38400q kernel={kern}")
+                  name=f"  sorted_lookup run3 blk{blk} win{win} 38400q")
 
     def ss(c, lin, base):
         heads = base.reshape(-1, 128)[:, 0]
