@@ -223,14 +223,16 @@ def pillar_downsample_grid(grid: PillarGrid, max_out: int,
         jnp.max(jnp.where(rank == INT32_MAX, -1, rank)) + 1, 0)
     slots = jnp.arange(max_out, dtype=jnp.int32)
     # hard window bound: <= k*k inputs nominate one output cell, so a
-    # 128-slot block spans <= 128*9 = 1152 duplicate ranks; real clouds
-    # average ~1.2 nominations/cell, so try a 512 window first and retry
-    # at the bound only on overflow (lookup cost is linear in window)
-    pos, _, ovf = sorted_lookup(rank, slots, window=512,
+    # 512-slot block spans <= 512*9 duplicate ranks; real clouds average
+    # ~1.2 nominations/cell, so try a 2048 window first and retry at the
+    # bound only on overflow. Block 512: the window slices are
+    # DMA-latency bound (tools/probe_lookup.py), so fewer bigger blocks
+    # win even with the wider window's extra compare-counts.
+    pos, _, ovf = sorted_lookup(rank, slots, block=512, window=2048,
                                 return_overflow=True)
     pos = jax.lax.cond(
         ovf,
-        lambda _: sorted_lookup(rank, slots, window=1280)[0],
+        lambda _: sorted_lookup(rank, slots, block=512, window=4736)[0],
         lambda _: pos, None)
     uniq = slin[jnp.minimum(pos, slin.shape[0] - 1)]
     out_mask = slots < n_uniq
