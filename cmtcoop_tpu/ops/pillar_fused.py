@@ -50,6 +50,34 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pin_rows_layout(x: jnp.ndarray, bp: int, interpret: bool):
+    """Identity through a trivial Pallas kernel, used on the XLA-fallback
+    branch of the retry-ladder conds. Why: XLA's layout assignment unifies
+    a conditional's branch layouts without branch probabilities — the cold
+    branch's concatenate/reshape chain made it pick COLUMN-major {0,1} for
+    the (P, ZCP) packed rows, inserting a ~0.2 ms relayout copy after
+    every conv on the HOT path (probe_trace: ~28 anonymous (40960, 768)
+    {0,1}->{1,0} copies). Ending both branches in a pallas custom-call
+    (fixed row-major layouts) makes the join {1,0}; the extra copy runs
+    only if the fallback is ever taken."""
+    p, w = x.shape
+    if p % bp != 0 or p < bp:
+        return x
+
+    def k(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    return pl.pallas_call(
+        k, grid=(p // bp,),
+        in_specs=[pl.BlockSpec((bp, w), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bp, w), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, w), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
 def band_matrix(weights: jnp.ndarray, z_in: int, z_out: int,
                 kz: int, z_stride: int, z_pad: int,
                 scale: Optional[jnp.ndarray] = None,
@@ -888,13 +916,20 @@ def fused_pillar_conv(
         return res.reshape(p_out, z_out, cout)
 
     if fold_occ:
-        slow = xla_fold
+        def slow(_):
+            out, occ_f = xla_fold()
+            if packed:
+                out = _pin_rows_layout(out, bp, interpret)
+            return out, occ_f
     else:
         def slow(_):
             out = _xla_reference(feats3(), nbr, weights, kz, z_stride,
                                  z_pad, scale, bias, occ_out,
                                  residual_3d(), relu)
-            return pack_out(out, occ_out)
+            out = pack_out(out, occ_out)
+            if packed:
+                out = _pin_rows_layout(out, bp, interpret)
+            return out
 
     def ops_with(zo):
         if zoffs_slot is None:

@@ -61,6 +61,10 @@ def build_forward(modality):
 
 
 def aggregate(iters):
+    """SELF-time per (category, source): nested events (cond/branch/while
+    wrappers contain their bodies on the XLA Ops lane) would otherwise be
+    double-counted — the raw lane sum exceeded the true module duration
+    by 40%+ on the first capture."""
     files = glob.glob(os.path.join(
         TRACE_DIR, "plugins/profile/*/**trace.json.gz"), recursive=True)
     with gzip.open(sorted(files)[-1]) as f:
@@ -68,23 +72,39 @@ def aggregate(iters):
     ev = tr["traceEvents"]
     pids = {e["pid"]: e["args"]["name"] for e in ev
             if e.get("ph") == "M" and e.get("name") == "process_name"}
-    by_src = collections.Counter()
-    by_cat = collections.Counter()
-    n_ev = 0
+    tids = {(e["pid"], e["tid"]): e["args"]["name"] for e in ev
+            if e.get("ph") == "M" and e.get("name") == "thread_name"}
+    ops = []
+    module_us = 0
     for e in ev:
         if e.get("ph") != "X" or "TPU" not in pids.get(e.get("pid"), ""):
             continue
-        n = e["name"]
-        if n.startswith("jit_"):
+        lane = tids.get((e["pid"], e["tid"]), "")
+        if e["name"].startswith("jit_"):
+            if lane == "XLA Modules":
+                module_us += e.get("dur", 0)
             continue
-        args = e.get("args", {})
-        d = e.get("dur", 0)
-        n_ev += 1
-        src = str(args.get("source", "")).replace("/root/repo/", "")
-        cat = re.sub(r"[.\d]+$", "", n)
-        by_src[src or f"<{cat}>"] += d
-        by_cat[cat] += d
-    return by_src, by_cat, n_ev
+        if lane == "XLA Ops":
+            ops.append(e)
+    ops.sort(key=lambda e: (e["ts"], -e["dur"]))
+    stack = []
+    by_src = collections.Counter()
+    by_cat = collections.Counter()
+    for e in ops:
+        ts, d = e["ts"], e.get("dur", 0)
+        while stack and ts >= stack[-1][0] + stack[-1][1] - 1e-9:
+            stack.pop()
+        src = str(e.get("args", {}).get("source", "")).replace(
+            "/root/repo/", "")
+        cat = re.sub(r"[.\d]+$", "", e["name"])
+        key = (cat, src or f"<{cat}>")
+        if stack:
+            by_src[stack[-1][2][1]] -= d
+            by_cat[stack[-1][2][0]] -= d
+        by_src[key[1]] += d
+        by_cat[key[0]] += d
+        stack.append((ts, d, key))
+    return by_src, by_cat, len(ops), module_us
 
 
 def main():
@@ -105,9 +125,10 @@ def main():
     jax.profiler.stop_trace()
     log(f"  traced {args.iters} iters (out={v:.3e})")
 
-    by_src, by_cat, n_ev = aggregate(args.iters)
+    by_src, by_cat, n_ev, module_us = aggregate(args.iters)
     tot = sum(by_cat.values())
-    log(f"  device total {tot / args.iters / 1e3:.2f} ms/iter "
+    log(f"  device module {module_us / args.iters / 1e3:.2f} ms/iter, "
+        f"op self-time sum {tot / args.iters / 1e3:.2f} "
         f"({n_ev // args.iters} events)")
     log("  -- by hlo category --")
     for cat, d in by_cat.most_common(12):
