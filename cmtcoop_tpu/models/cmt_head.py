@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from cmtcoop_tpu.core.boxes import inverse_sigmoid, normalize_01
 from cmtcoop_tpu.core.pos_embed import (bev_pos2embed_grid, depth_bins,
                                         frustum_coords, pos2embed)
-from cmtcoop_tpu.models.layers import MLP, ConvBNReLU
+from cmtcoop_tpu.models.layers import MLP, ConvBNReLU, conv_bn_relu_cf
 from cmtcoop_tpu.models.petr_decoder import PETRTransformerDecoder
 from cmtcoop_tpu.ops.attention import NEG_INF
 
@@ -354,7 +354,13 @@ class CmtHead(nn.Module):
         mem_parts, pos_parts = [], []
 
         if self.with_bev:
-            x = self.shared_conv(agent.bev_feat, self.train_mode)
+            use_cf = (not self.train_mode and not self.is_initializing()
+                      and jax.default_backend() == "tpu")
+            if use_cf:
+                x = conv_bn_relu_cf(self.shared_conv.variables,
+                                    agent.bev_feat, self.dtype)
+            else:
+                x = self.shared_conv(agent.bev_feat, self.train_mode)
             hb, wb = x.shape[1], x.shape[2]
             bev_tokens = x.reshape(batch, hb * wb, self.hidden_dim)
             # separable table: H+W sin/cos instead of H*W (pos_embed.py)

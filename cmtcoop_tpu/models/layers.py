@@ -53,6 +53,30 @@ class ConvBNReLU(nn.Module):
         return x
 
 
+def conv_bn_relu_cf(variables, x_nhwc, dtype, relu: bool = True,
+                    bn_eps: float = 1e-5, interpret=None):
+    """Eval fast path for a 3x3/stride-1 `ConvBNReLU`: the channels-first
+    Pallas conv kernel (ops/conv_cf.py) with the BatchNorm folded into the
+    epilogue. Pure function over the module's variable tree (same pattern
+    as models/vovnet_cf.py) — XLA's NHWC conv pads the 512-ch contraction
+    and runs the head's shared_conv (cmt_head.py shared_conv; reference
+    cmt_head.py:206-322 shared_conv) at ~18% of MXU peak (probe_trace:
+    2.13 ms/agent at 180x180x512->256); the cf kernel K-packs 3*Cin.
+    """
+    from cmtcoop_tpu.ops.conv_cf import conv3x3_cf, from_cf, to_cf
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    k = p["Conv_0"]["kernel"]
+    scale = p["BatchNorm_0"]["scale"] * jax.lax.rsqrt(
+        bs["BatchNorm_0"]["var"] + bn_eps)
+    bias = p["BatchNorm_0"]["bias"] - bs["BatchNorm_0"]["mean"] * scale
+    b, h, w, _ = x_nhwc.shape
+    y = conv3x3_cf(to_cf(x_nhwc.astype(dtype)), k.astype(dtype), h, w,
+                   scale=scale, bias=bias, relu=relu, mstack=True,
+                   interpret=interpret)
+    return from_cf(y, h, w)
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm1d over the valid rows of a padded (N, C) feature array.
 

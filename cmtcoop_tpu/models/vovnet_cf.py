@@ -79,6 +79,25 @@ def _convbn_s2_wpacked(x_nhwc, p, bs, dtype=jnp.bfloat16):
     return jnp.maximum(y * scale + bias, 0.0).astype(dtype)
 
 
+def _wpack_kernel(k, s, pi, po, pl=1):
+    """Rearrange (kh, kw, Cin, Cout) into the width-packed
+    (kh, kw2, Pi*Cin, Po*Cout) kernel (taps map to (block offset t,
+    in-block column q): q + Pi*t = s*p - pl + dx). Returns (k2, tmin)."""
+    kh, kw, cin, cout = k.shape
+    taps = [(dx, px) for px in range(po) for dx in range(kw)]
+    ts = [(s * px - pl + dx) // pi for dx, px in taps]
+    tmin, tmax = min(ts), max(ts)
+    kw2 = tmax - tmin + 1
+    k2 = jnp.zeros((kh, kw2, pi * cin, po * cout), k.dtype)
+    for dx in range(kw):
+        for px in range(po):
+            g = s * px - pl + dx
+            t, q = g // pi - tmin, g % pi
+            k2 = k2.at[:, t, q * cin:(q + 1) * cin,
+                       px * cout:(px + 1) * cout].set(k[:, dx])
+    return k2, tmin, tmax
+
+
 def _wpack_conv(x, p, bs, kh, s, pi, po, pl=1, dtype=jnp.bfloat16):
     """Width-packed conv+BN+ReLU: `x` is (V, H, WB, Pi*Cin) — Pi image
     columns folded into channels (a FREE reshape of NHWC row-major data).
@@ -93,19 +112,9 @@ def _wpack_conv(x, p, bs, kh, s, pi, po, pl=1, dtype=jnp.bfloat16):
     (taps map to (block offset t, in-block column q): q + Pi*t =
     s*p - pl + dx)."""
     k = p["Conv_0"]["kernel"]                        # (kh, kw, Cin, Cout)
-    kw, cin, cout = k.shape[1], k.shape[2], k.shape[3]
+    cin, cout = k.shape[2], k.shape[3]
     assert s * po == pi and x.shape[-1] == pi * cin
-    taps = [(dx, px) for px in range(po) for dx in range(kw)]
-    ts = [(s * px - pl + dx) // pi for dx, px in taps]
-    tmin, tmax = min(ts), max(ts)
-    kw2 = tmax - tmin + 1
-    k2 = jnp.zeros((kh, kw2, pi * cin, po * cout), k.dtype)
-    for dx in range(kw):
-        for px in range(po):
-            g = s * px - pl + dx
-            t, q = g // pi - tmin, g % pi
-            k2 = k2.at[:, t, q * cin:(q + 1) * cin,
-                       px * cout:(px + 1) * cout].set(k[:, dx])
+    k2, tmin, tmax = _wpack_kernel(k, s, pi, po, pl)
     ph = (kh - 1) // 2
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), k2.astype(dtype), (s, 1),
@@ -118,7 +127,7 @@ def _wpack_conv(x, p, bs, kh, s, pi, po, pl=1, dtype=jnp.bfloat16):
     return jnp.maximum(y * sc + bi, 0.0).astype(dtype)
 
 
-def _stem_wpack(x_nhwc, p, bs, dtype=jnp.bfloat16):
+def _stem_wpack(x_nhwc, p, bs, dtype=jnp.bfloat16, cf2: bool = True):
     """All three stem convs width-packed; returns standard NHWC
     (V, H/4, W/4, 128). Every repack between convs is a free reshape
     (pack-major column order == row-major width order)."""
@@ -126,8 +135,26 @@ def _stem_wpack(x_nhwc, p, bs, dtype=jnp.bfloat16):
     assert c == 3 and h % 4 == 0 and w % 16 == 0
     x = x_nhwc.reshape(v, h, w // 4, 12)             # pack4, free
     x = _wpack_conv(x, p["stem1"], bs["stem1"], 3, 2, 4, 2, dtype=dtype)
-    # (V, H/2, W/4, 2*64) pack2 -> pack2 (s=1: pi=po=2)
-    x = _wpack_conv(x, p["stem2"], bs["stem2"], 3, 1, 2, 2, dtype=dtype)
+    if cf2:
+        # (V, H/2, W/4, 2*64) pack2 -> pack2 (s=1: pi=po=2). The packed
+        # kernel is an exact centered 3x3 over 128 channels (tmin = -1),
+        # so it lowers through the cf Pallas kernel: XLA ran this conv at
+        # ~15% of peak (probe_trace maximum_convert_fusion, 2.6 ms at
+        # bench shapes); the two cf layout converts cost ~0.1 ms each.
+        k2, tmin, tmax = _wpack_kernel(p["stem2"]["Conv_0"]["kernel"],
+                                       1, 2, 2)
+        assert (tmin, tmax) == (-1, 1)
+        sc, bi = _fold_bn(p["stem2"]["BatchNorm_0"],
+                          bs["stem2"]["BatchNorm_0"])
+        h2, w2 = x.shape[1], x.shape[2]
+        x = from_cf(conv3x3_cf(to_cf(x.astype(dtype)), k2.astype(dtype),
+                               h2, w2, scale=jnp.tile(sc, 2),
+                               bias=jnp.tile(bi, 2), relu=True,
+                               mstack=True),
+                    h2, w2)
+    else:
+        x = _wpack_conv(x, p["stem2"], bs["stem2"], 3, 1, 2, 2,
+                        dtype=dtype)
     # repack 2 -> 4 (free reshape), stem3 s2 -> pack2 of 128
     vb, hb, wb, cc = x.shape
     x = x.reshape(vb, hb, wb // 2, 2 * cc)
@@ -249,8 +276,14 @@ def vovnet_cf(variables: Dict[str, Any], x_nhwc: jnp.ndarray,
     # 34.74 with a width-packed stem3 — both "clever" variants win
     # isolated but LOSE composed (XLA layout propagation), so the stem
     # stays on plain strided convs.
-    if stem_impl == "wpack":
-        x = _stem_wpack(x_nhwc, p, bs, dtype=dtype)
+    if stem_impl.startswith("wpack"):
+        # "wpack" = all-XLA packed convs; "wpack_cf2" routes stem2
+        # through the cf kernel — isolated it wins, composed it LOSES
+        # (30.0 vs 27.9 ms FULL, probe_vovnet_stems: the to_cf/from_cf
+        # layout converts break XLA's layout propagation) — kept as a
+        # measured alternative only.
+        x = _stem_wpack(x_nhwc, p, bs, dtype=dtype,
+                        cf2=stem_impl == "wpack_cf2")
         outputs = {}
         if "stem" in out_features:
             outputs["stem"] = x

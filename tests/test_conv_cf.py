@@ -105,7 +105,8 @@ def test_lane_mask():
     assert grid[:5, :10].all() and grid[5:].sum() == 0
 
 
-def test_wpack_stem_matches_flax():
+@pytest.mark.parametrize("impl", ["wpack", "wpack_cf2"])
+def test_wpack_stem_matches_flax(impl):
     """Width-packed stem (free-reshape column packing, rearranged
     kernels) is bit-near-exact vs the flax stem convs."""
     from cmtcoop_tpu.models.vovnet import VoVNet
@@ -116,8 +117,27 @@ def test_wpack_stem_matches_flax():
     varz = net.init(jax.random.PRNGKey(0), x, False)
     ref = net.apply(varz, x, False)["stem"]
     got = vovnet_cf(varz, x, "V-19-slim-eSE", ("stem",),
-                    dtype=jnp.float32, stem_impl="wpack",
+                    dtype=jnp.float32, stem_impl=impl,
                     stop_after="stem")["_debug"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_bn_relu_cf_matches_module():
+    """Head shared_conv eval fast path (layers.conv_bn_relu_cf) vs the
+    flax ConvBNReLU module with running BN statistics."""
+    from cmtcoop_tpu.models.layers import ConvBNReLU, conv_bn_relu_cf
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 12, 18, 24)), jnp.float32)
+    mod = ConvBNReLU(16, (3, 3), dtype=jnp.float32)
+    varz = mod.init(jax.random.PRNGKey(0), x, False)
+    # non-trivial running stats
+    varz = jax.tree.map(lambda v: v, varz)
+    bs = varz["batch_stats"]["BatchNorm_0"]
+    bs["mean"] = jnp.asarray(rng.normal(size=16) * 0.3, jnp.float32)
+    bs["var"] = jnp.asarray(rng.uniform(0.5, 2.0, 16), jnp.float32)
+    ref = mod.apply(varz, x, False)
+    got = conv_bn_relu_cf(varz, x, jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 

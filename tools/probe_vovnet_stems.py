@@ -35,7 +35,7 @@ def main():
         jax.random.PRNGKey(0), x)
 
     for rep in range(2):
-        for impl in ("xla", "wpack"):
+        for impl in ("wpack", "wpack_cf2"):
             def fn(c, pr, x_, impl=impl):
                 outs = vovnet_cf(pr, x_ + c.astype(DT) * 0, "V-99-eSE",
                                  ("stage4", "stage5"), dtype=DT,
