@@ -190,7 +190,13 @@ class PillarSparseEncoder(nn.Module):
     # fallback. 192-wide subm windows measured net-neutral vs 256 (the
     # gather FLOP saving cancels against retry-plan overhead).
     subm_wins: Sequence[int] = (256, 256, 256, 256)
-    down_wins: Sequence[int] = (384, 512, 640)
+    # down-conv windows: sized to measured per-dy p100 spans on bench
+    # clouds (205/378/472) + thin margins; a denser cloud pays one
+    # 2x-window retry (runtime ladder), never a wrong answer. A/B
+    # (probe_down_conv): 288 == 384 in time (the gather's win-invariant
+    # costs dominate) but 512 is +15%, so thin windows guard the VMEM
+    # budget and the wide tail, not steady-state FLOPs.
+    down_wins: Sequence[int] = (288, 448, 544)
     # kernel block size (output pillars per block) for the subm convs.
     # bp=256 measures 7-11% faster standalone (probe_pillar_kernel) but
     # LOSES in-encoder at every stage (probe_encoder 23:03 vs 22:31:

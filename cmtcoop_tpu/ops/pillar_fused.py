@@ -45,6 +45,12 @@ from cmtcoop_tpu.ops import pillars as pu
 # hardware. Env override: CMTCOOP_KPACK=1.
 KPACK = os.environ.get("CMTCOOP_KPACK", "0") == "1"
 
+# In-kernel ablation for probing ONLY (tools/probe_down_conv.py):
+# "nogather" replaces the one-hot gathers with static window slices,
+# "noband" replaces the band contraction with a VPU sum of the gathered
+# taps (keeps them alive against DCE). Wrong results by design.
+ABLATE = os.environ.get("CMTCOOP_ABLATE", "")
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -383,9 +389,14 @@ def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
     iota = jax.lax.broadcasted_iota(jnp.int32, (bp, win_d), 1)
 
     def gather3(cols, wbuf):
+        if ABLATE == "nogather":
+            return [wbuf[:bp], wbuf[:bp], wbuf[:bp]]
         oh = jnp.concatenate(
             [(nbrl_ref[:, c][:, None] == iota).astype(wbuf.dtype)
              for c in range(cols[0], cols[0] + 3)], axis=0)
+        # (bf16 accumulation would be exact here — one-hot rows — but
+        # Mosaic requires 32-bit matmul accumulators, so the f32->bf16
+        # cast stays)
         g = jax.lax.dot_general(
             oh, wbuf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(wbuf.dtype)
@@ -409,7 +420,9 @@ def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
         gs.extend(gather3((6, 7, 8), w_hi))
 
     zoco_c = zwin * cout if zwin else zoco  # contraction width
-    if tiles is None or not KPACK:
+    if ABLATE == "noband":
+        acc = sum(g[:, :zoco_c].astype(jnp.float32) for g in gs)
+    elif tiles is None or not KPACK:
         acc = _band_contract(gs, band_ref, bp, 9, zoco_c, tiles, cin,
                              cout)
     elif True:

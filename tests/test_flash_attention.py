@@ -95,14 +95,16 @@ def test_flash_packed_matches_reference(rng):
     v = jnp.asarray(rng.normal(size=(b, nk, c)).astype(np.float32))
     kb = np.zeros((b, nk), np.float32)
     kb[:, -100:] = A.NEG_INF  # padding tail
-    out = A.flash_attention_packed(
-        q, k, v, jnp.asarray(kb), h, block_q=128, block_k=256,
-        interpret=True)
-
     def split(x):
         return x.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)
     ref = A.mha_reference(split(q), split(k), split(v),
                           jnp.asarray(kb)[:, None, None, :])
     ref = ref.transpose(0, 2, 1, 3).reshape(b, nq, c)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=2e-5)
+    # block_q 64: non-128-multiple q blocks (the decoder uses 464 to pad
+    # the 900 queries to 928 instead of 1024)
+    for bq in (128, 64):
+        out = A.flash_attention_packed(
+            q, k, v, jnp.asarray(kb), h, block_q=bq, block_k=256,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
