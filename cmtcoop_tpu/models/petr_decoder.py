@@ -28,6 +28,16 @@ PACKED_BLOCK_K = 2048  # decoder KV padding / flash block_k (eval path;
 #                        measured 1.23 ms vs 1.62 at bk1024, bench shape)
 
 
+def packed_flash_backend_ok() -> bool:
+    """Single point of truth for 'the Pallas flash kernels can run here'.
+
+    Tests monkeypatch this to trace the packed eval path on CPU and assert
+    which attention impl the dispatch predicates select at bench shapes
+    (a mis-predicate silently costs ~2x attention latency otherwise).
+    """
+    return jax.default_backend() == "tpu"
+
+
 class MultiheadAttention(nn.Module):
     """torch.nn.MultiheadAttention-equivalent projections around `attend`.
 
@@ -71,7 +81,7 @@ class MultiheadAttention(nn.Module):
         if (self.impl == "auto" and bias is None and drop == 0.0
                 and not self.train_mode and nk >= 4096
                 and nk % PACKED_BLOCK_K == 0
-                and jax.default_backend() == "tpu"):
+                and packed_flash_backend_ok()):
             qd = nn.Dense(c, dtype=self.dtype, name="q_proj")(q)
             kd = nn.Dense(c, dtype=self.dtype, name="k_proj")(k)
             vd = nn.Dense(c, dtype=self.dtype, name="v_proj")(v)
@@ -198,7 +208,7 @@ class PETRTransformerDecoder(nn.Module):
         b, nk = memory.shape[0], memory.shape[1]
         pad_k = (-nk) % PACKED_BLOCK_K
         if (pad_k and not self.train_mode and self.cross_impl == "auto"
-                and nk >= 4096 and jax.default_backend() == "tpu"):
+                and nk >= 4096 and packed_flash_backend_ok()):
             memory = jnp.pad(memory, ((0, 0), (0, pad_k), (0, 0)))
             memory_pe = jnp.pad(memory_pe, ((0, 0), (0, pad_k), (0, 0)))
             if memory_k_bias is None:

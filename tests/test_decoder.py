@@ -4,7 +4,77 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from cmtcoop_tpu.models.petr_decoder import MultiheadAttention
+from cmtcoop_tpu.models import petr_decoder
+from cmtcoop_tpu.models.petr_decoder import (MultiheadAttention,
+                                             PETRTransformerDecoder)
+
+
+def _iter_jaxprs(v):
+    if hasattr(v, "jaxpr"):  # ClosedJaxpr
+        yield v.jaxpr
+    elif hasattr(v, "eqns"):  # Jaxpr
+        yield v
+    elif isinstance(v, (tuple, list)):
+        for x in v:
+            yield from _iter_jaxprs(x)
+
+
+def _count_primitive(jaxpr, name):
+    n = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == name:
+            n += 1
+        for val in eqn.params.values():
+            for sub in _iter_jaxprs(val):
+                n += _count_primitive(sub, name)
+    return n
+
+
+def _decoder_pallas_calls(train_mode, nq=900, nk=44000, backend_ok=True,
+                          monkeypatch=None):
+    if monkeypatch is not None:
+        monkeypatch.setattr(petr_decoder, "packed_flash_backend_ok",
+                            lambda: backend_ok)
+    dec = PETRTransformerDecoder(num_layers=6, train_mode=train_mode)
+    q = jax.ShapeDtypeStruct((1, nq, 256), jnp.float32)
+    mem = jax.ShapeDtypeStruct((1, nk, 256), jnp.float32)
+    params = jax.eval_shape(dec.init, jax.random.PRNGKey(0), q, mem, q, mem)
+    kwargs = {"rngs": {"dropout": jax.random.PRNGKey(1)}} if train_mode else {}
+    jaxpr = jax.make_jaxpr(
+        lambda p, a, b, c, d: dec.apply(p, a, b, c, d, **kwargs))(
+            params, q, mem, q, mem)
+    return _count_primitive(jaxpr.jaxpr, "pallas_call")
+
+
+def test_eval_cross_attention_takes_packed_flash_path(monkeypatch):
+    """Regression guard: at bench shapes (900 q, ~44k KV tokens, eval) the
+    dispatch predicates in MultiheadAttention/PETRTransformerDecoder must
+    select the head-packed Pallas flash kernel for all 6 cross-attentions —
+    a predicate tweak that silently drops to the generic path costs ~2x
+    attention latency and no functional test would notice."""
+    n = _decoder_pallas_calls(train_mode=False, monkeypatch=monkeypatch)
+    assert n == 6, f"expected 6 packed-flash cross-attns, traced {n}"
+
+
+def test_eval_packed_flash_path_pads_odd_kv(monkeypatch):
+    """Non-multiple-of-block KV memories must be padded into the packed
+    path (not silently routed to the generic one)."""
+    n = _decoder_pallas_calls(train_mode=False, nk=4500,
+                              monkeypatch=monkeypatch)
+    assert n == 6, f"expected 6 packed-flash cross-attns, traced {n}"
+
+
+def test_train_mode_avoids_packed_flash(monkeypatch):
+    """Training (attn dropout on) must route through the XLA path: the
+    packed kernel is dropout-free/eval-only."""
+    n = _decoder_pallas_calls(train_mode=True, monkeypatch=monkeypatch)
+    assert n == 0, f"train path traced {n} pallas_calls, expected 0"
+
+
+def test_non_tpu_backend_avoids_packed_flash(monkeypatch):
+    n = _decoder_pallas_calls(train_mode=False, backend_ok=False,
+                              monkeypatch=monkeypatch)
+    assert n == 0, f"non-tpu backend traced {n} pallas_calls, expected 0"
 
 
 def test_mha_matches_torch(rng):
