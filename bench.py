@@ -121,6 +121,16 @@ def main():
     jax.block_until_ready(variables)
     print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
+    if use_lidar:
+        # hoist frame-invariant pillar band matrices out of the jitted
+        # forward (models/pillar_encoder.py::prepare_variables)
+        from cmtcoop_tpu.models.pillar_encoder import prepare_variables
+        t0 = time.time()
+        variables = prepare_variables(model, variables)
+        jax.block_until_ready(variables.get("prepared", ()))
+        print(f"# prepare: {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+
     @jax.jit
     def forward(variables, batch):
         (task_outs, _), _ = model.apply(

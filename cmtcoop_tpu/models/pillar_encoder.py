@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from cmtcoop_tpu.models.layers import MaskedBatchNorm
 from cmtcoop_tpu.ops import pillars as pu
-from cmtcoop_tpu.ops.pillar_fused import fused_pillar_conv
+from cmtcoop_tpu.ops.pillar_fused import (band_plan, build_band,
+                                          fused_pillar_conv)
 
 _conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
@@ -46,6 +47,11 @@ class PillarConv(nn.Module):
             (self.kernel_volume, cin, self.features),
             jnp.float32)
         if fused:
+            # load-time-prepared band matrix (prepare_variables below):
+            # frame-invariant, so hoisting it out of the jitted forward
+            # saves its einsum/tile-slice cost every frame
+            band = (self.get_variable("prepared", "band")
+                    if self.has_variable("prepared", "band") else None)
             has_occ = occ_out is not None
             has_res = residual is not None
             args = [feats.astype(self.dtype), nbr]
@@ -71,7 +77,7 @@ class PillarConv(nn.Module):
                 return fused_pillar_conv(
                     a[0], a[1], w, kz=self.kz, z_stride=self.z_stride,
                     z_pad=self.z_pad, scale=scale, bias=bias, relu=relu,
-                    win=self.win, subm=self.subm, bp=self.bp,
+                    band=band, win=self.win, subm=self.subm, bp=self.bp,
                     packed_shape=packed_shape,
                     emit_occ_lanes=emit_occ_lanes, **kw)
             # sequential over batch: the kernel saturates the chip per
@@ -371,3 +377,94 @@ class PillarSparseEncoder(nn.Module):
         c = zc // zf
         dense = dense.reshape(b, hh, ww, zf, c).transpose(0, 1, 2, 4, 3)
         return dense.reshape(b, hh, ww, zc)
+
+
+_BN_OF = {"conv": "bn", "conv1": "bn1", "conv2": "bn2"}
+
+
+def _band_sites(enc: PillarSparseEncoder, cin0: int):
+    """(path, static band kwargs) for every fused conv site, mirroring
+    `PillarSparseEncoder.__call__`'s eval flow. Any structural drift
+    between this walker and the forward is caught by the prepared-vs-
+    unprepared parity test (tests/test_pillar_encoder.py)."""
+    sites = []
+
+    def add(path, cin, cout, kv, kz, zs, zp, subm, occ, fold, z_in):
+        sites.append((path, dict(
+            z_in=z_in, cin=cin, cout=cout, kz=kz, z_stride=zs, z_pad=zp,
+            kb=kv // kz, subm=subm, has_occ_out=occ, fold_occ=fold,
+            zcp=-(-z_in * cin // 128) * 128)))
+
+    zdim = enc.sparse_shape[0]
+    add(("conv_input", "conv"), cin0, enc.base_channels, 27, 3, 1, 1,
+        True, True, False, zdim)
+    down_zpads = [1, 1, 0]
+    n_stages = len(enc.encoder_channels)
+    for i, blocks in enumerate(enc.encoder_channels):
+        ch = blocks[0]
+        n_sbb = len(blocks) - (0 if i == n_stages - 1 else 1)
+        for j in range(n_sbb):
+            for conv in ("conv1", "conv2"):
+                add((f"stage{i}_block{j}", conv), ch, ch, 27, 3, 1, 1,
+                    True, True, False, zdim)
+        if i != n_stages - 1:
+            zp = down_zpads[i]
+            add((f"stage{i}_down", "conv"), ch, blocks[-1], 27, 3, 2, zp,
+                False, False, True, zdim)
+            zdim = (zdim + 2 * zp - 3) // 2 + 1
+    add(("conv_out", "conv"), enc.encoder_channels[-1][-1],
+        enc.output_channels, 3, 3, 2, 0, False, True, False, zdim)
+    return sites
+
+
+def _encoder_bands(enc: PillarSparseEncoder, enc_params, enc_stats, cin0):
+    prepared: dict = {}
+    for (blk, conv), kw in _band_sites(enc, cin0):
+        w = enc_params[blk][conv]["kernel"]
+        bnn = _BN_OF[conv]
+        s = enc_params[blk][bnn]["scale"] * jax.lax.rsqrt(
+            enc_stats[blk][bnn]["var"] + MaskedBatchNorm.epsilon)
+        zcp = kw.pop("zcp")
+        zwin, tiles = band_plan(**kw)
+        band = build_band(
+            w, s, z_in=kw["z_in"], cin=kw["cin"], cout=kw["cout"],
+            kz=kw["kz"], z_stride=kw["z_stride"], z_pad=kw["z_pad"],
+            zwin=zwin, tiles=tiles, zcp=zcp, dtype=enc.dtype)
+        prepared.setdefault(blk, {})[conv] = {"band": band}
+    return prepared
+
+
+def prepare_variables(model, variables):
+    """Hoist frame-invariant constants out of the per-frame jitted
+    forward: returns `variables` plus a 'prepared' collection holding
+    every pillar conv's band matrix (conv weights x BN eval scale in the
+    kernel's final tiled layout — `ops.pillar_fused.build_band`), which
+    `PillarConv` then reads instead of rebuilding per frame (~2-3 ms of
+    einsum/slice work per agent at flagship shapes).
+
+    Call after weights are final — prepared values are derived from
+    params/batch_stats and go stale if those change. Works on CmtDetector,
+    CmtCoopDetector, or any model exposing the extractor attribute names;
+    a no-op (returns `variables` unchanged) when no pillar encoder is
+    found. Eval only: the train path never reads 'prepared'.
+    """
+    bound = model.bind(variables)
+    prepared = {}
+    for name in ("extractor", "vehicle_model", "infrastructure_model"):
+        try:
+            agent = getattr(bound, name)
+        except AttributeError:
+            continue
+        enc = getattr(agent, "pts_middle_encoder", None)
+        if not isinstance(enc, PillarSparseEncoder):
+            continue
+        ev = enc.variables
+        cin0 = ev["params"]["conv_input"]["conv"]["kernel"].shape[1]
+        sub = jax.jit(
+            lambda p, s, enc=enc, cin0=cin0: _encoder_bands(
+                enc.clone(parent=None), p, s, cin0)
+        )(ev["params"], ev["batch_stats"])
+        prepared[name] = {"pts_middle_encoder": sub}
+    if not prepared:
+        return variables
+    return dict(variables, prepared=prepared)

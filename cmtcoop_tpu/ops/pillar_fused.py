@@ -128,6 +128,73 @@ def _tile_plan(z_in, z_out, cin, cout, kz, z_stride, z_pad):
     return t, tin, starts
 
 
+def band_plan(*, z_in: int, cin: int, cout: int, kz: int, z_stride: int,
+              z_pad: int, kb: int, subm: bool, has_occ_out: bool,
+              fold_occ: bool):
+    """Static band-operand plan for `fused_pillar_conv`: the (zwin, tiles)
+    decisions. Pure python of static shapes — callable at model-load time
+    (the `prepare` path that hoists band matrices out of the per-frame
+    jit) and inside the conv; both call THIS function so they cannot
+    drift. Returns (zwin, tiles)."""
+    z_out = (z_in + 2 * z_pad - kz) // z_stride + 1
+    zwin = None
+    # per-block z-windowed compute (subm only): see _fused_kernel_v2
+    if (kb == 9 and subm and has_occ_out and not fold_occ
+            and z_stride == 1 and z_out == z_in and z_in >= 16
+            and cin in (16, 32, 64, 128) and cout in (16, 32, 64, 128)):
+        zq = max(128 // cin, 128 // cout, 2)
+        zwin_c = _round_up(z_in // 2 + 4, zq)
+        zwin = zwin_c if zwin_c < z_in else None
+    z_in_b, z_out_b = (zwin, zwin) if zwin else (z_in, z_out)
+    tiles = _tile_plan(z_in_b, z_out_b, cin, cout, kz, z_stride, z_pad)
+    if tiles is not None:
+        t, tin, tstarts = tiles
+        tiled_flops = len(tstarts) * tin * cin * t * cout
+        if tiled_flops > 0.7 * (z_in_b * cin) * (z_out_b * cout):
+            tiles = None  # banding too dense for tiling to pay off
+    return zwin, tiles
+
+
+def build_band(weights: jnp.ndarray, scale: Optional[jnp.ndarray], *,
+               z_in: int, cin: int, cout: int, kz: int, z_stride: int,
+               z_pad: int, zwin, tiles, zcp: int,
+               dtype=jnp.bfloat16) -> jnp.ndarray:
+    """The band operand of `fused_pillar_conv` in its final kernel layout
+    (z-window-relative, z-tiled, K-padded to the packed row width), built
+    from conv weights + folded BN scale. Frame-invariant: depends only on
+    variables and static config, so it can be computed ONCE at load
+    (`models.pillar_encoder.prepare_variables`) instead of per forward."""
+    kb = weights.shape[0] // kz
+    z_out = (z_in + 2 * z_pad - kz) // z_stride + 1
+    z_in_b, z_out_b = (zwin, zwin) if zwin else (z_in, z_out)
+    band = band_matrix(weights, z_in_b, z_out_b, kz, z_stride, z_pad,
+                       scale=scale, dtype=dtype)
+    if tiles is None:
+        zc = z_in * cin
+        if not zwin and zcp != zc:
+            band = jnp.pad(band, ((0, 0), (0, zcp - zc), (0, 0)))
+        return band
+    t, tin, tstarts = tiles
+    tile_mats = []
+    for ti, s0 in enumerate(tstarts):
+        bt = band[:, s0 * cin:(s0 + tin) * cin,
+                  ti * t * cout:min((ti + 1) * t, z_out_b) * cout]
+        if bt.shape[2] < t * cout:  # ragged last tile
+            bt = jnp.pad(bt, ((0, 0), (0, 0),
+                              (0, t * cout - bt.shape[2])))
+        tile_mats.append(bt)
+    if kb == 9 and KPACK:
+        # K-packed layout for the v2 kernel: taps stacked along K
+        # (ntiles, KP, T*Cout), KP 128-padded with zero rows
+        tcp = tin * cin
+        kp = _round_up(kb * tcp, 128)
+        packed = [jnp.pad(bt.reshape(kb * tcp, t * cout),
+                          ((0, kp - kb * tcp), (0, 0)))
+                  for bt in tile_mats]
+        return jnp.stack(packed, axis=0)
+    return jnp.stack(tile_mats, axis=1)  # (kb, nt, Tin*Cin, TCout)
+
+
 def _fused_kernel(starts_ref, nbrl_ref, blkact_ref, *rest, win, bp, kb,
                   zoco, has_bias, has_resid, has_occ, relu,
                   tiles=None, cin=None, cout=None, emit_occ=False):
@@ -517,6 +584,7 @@ def fused_pillar_conv(
     bias: Optional[jnp.ndarray] = None,      # (Cout,) BN eval bias
     occ_out: Optional[jnp.ndarray] = None,   # (P_out, Z_out) bool
     residual: Optional[jnp.ndarray] = None,  # (P_out, Z_out, Cout)
+    band: Optional[jnp.ndarray] = None,      # prebuilt via build_band
     relu: bool = False,
     bp: int = 128,
     win: int = 512,
@@ -710,16 +778,12 @@ def fused_pillar_conv(
         # at each block's occupied z range; blocks whose span overflows
         # take the exact fallback. Alignment: zoff quantized so both
         # zoff*cin and zoff*cout are 128-lane multiples.
-        if (subm and occ_out is not None and not fold_occ
-                and z_stride == 1 and z_out == z_in and z_in >= 16
-                and cin in (16, 32, 64, 128)
-                and cout in (16, 32, 64, 128)):
-            zq_ = max(128 // cin, 128 // cout, 2)
-            zwin_c = _round_up(z_in // 2 + 4, zq_)
-            zwin = zwin_c if zwin_c < z_in else None
-        else:
-            zwin = None
+        zwin, tiles = band_plan(
+            z_in=z_in, cin=cin, cout=cout, kz=kz, z_stride=z_stride,
+            z_pad=z_pad, kb=kb, subm=subm,
+            has_occ_out=occ_out is not None, fold_occ=fold_occ)
         if zwin:
+            zq_ = max(128 // cin, 128 // cout, 2)
             zidx = jnp.arange(z_in, dtype=jnp.int32)
             ob = occ_out.astype(bool)
             zmin_p = jnp.min(jnp.where(ob, zidx[None, :], z_in), axis=1)
@@ -773,39 +837,18 @@ def fused_pillar_conv(
         adj = None
         zwin, zoffs, z_ovf = None, None, jnp.zeros((), bool)
 
-    z_in_b, z_out_b = (zwin, zwin) if zwin else (z_in, z_out)
-    band = band_matrix(weights, z_in_b, z_out_b, kz, z_stride, z_pad,
-                       scale=scale, dtype=feats.dtype)
-    tiles = _tile_plan(z_in_b, z_out_b, cin, cout, kz, z_stride, z_pad)
-    if tiles is not None:
-        t, tin, tstarts = tiles
-        tiled_flops = len(tstarts) * tin * cin * t * cout
-        if tiled_flops > 0.7 * (z_in_b * cin) * (z_out_b * cout):
-            tiles = None  # banding too dense for tiling to pay off
-    if tiles is None:
-        if not zwin and zcp != zc:
-            band = jnp.pad(band, ((0, 0), (0, zcp - zc), (0, 0)))
+    if not use_v2:
+        _, tiles = band_plan(
+            z_in=z_in, cin=cin, cout=cout, kz=kz, z_stride=z_stride,
+            z_pad=z_pad, kb=kb, subm=subm,
+            has_occ_out=occ_out is not None, fold_occ=fold_occ)
+    if band is None:
+        band = build_band(weights, scale, z_in=z_in, cin=cin, cout=cout,
+                          kz=kz, z_stride=z_stride, z_pad=z_pad,
+                          zwin=zwin, tiles=tiles, zcp=zcp,
+                          dtype=feats.dtype)
     else:
-        t, tin, tstarts = tiles
-        tile_mats = []
-        for ti, s0 in enumerate(tstarts):
-            bt = band[:, s0 * cin:(s0 + tin) * cin,
-                      ti * t * cout:min((ti + 1) * t, z_out_b) * cout]
-            if bt.shape[2] < t * cout:  # ragged last tile
-                bt = jnp.pad(bt, ((0, 0), (0, 0),
-                                  (0, t * cout - bt.shape[2])))
-            tile_mats.append(bt)
-        if use_v2 and KPACK:
-            # K-packed layout for the v2 kernel: taps stacked along K
-            # (ntiles, KP, T*Cout), KP 128-padded with zero rows
-            tcp = tin * cin
-            kp = _round_up(kb * tcp, 128)
-            packed = [jnp.pad(bt.reshape(kb * tcp, t * cout),
-                              ((0, kp - kb * tcp), (0, 0)))
-                      for bt in tile_mats]
-            band = jnp.stack(packed, axis=0)
-        else:
-            band = jnp.stack(tile_mats, axis=1)  # (kb, nt, Tin*Cin, TCout)
+        band = band.astype(feats.dtype)
 
     has_bias = bias is not None
     has_resid = residual is not None

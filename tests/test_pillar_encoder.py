@@ -57,3 +57,86 @@ def test_pillar_param_tree_matches(rng):
     assert sr == sf
     for a, b in zip(jax.tree.leaves(pr), jax.tree.leaves(pf)):
         assert a.shape == b.shape
+
+
+def _perturb_stats(variables, rng):
+    """Randomize batch_stats so the BN fold (baked into prepared bands)
+    is non-trivial."""
+    stats = jax.tree.map(
+        lambda v: jnp.asarray(
+            rng.uniform(0.5, 2.0, v.shape).astype(np.float32)),
+        variables["batch_stats"])
+    return dict(variables, batch_stats=stats)
+
+
+@pytest.mark.parametrize("channels", [
+    # tiny channels (no z-window eligibility)
+    ((4, 4, 8), (8, 8, 8), (8, 8, 8), (8, 8)),
+    # production-like channels: stage-0/1 subm convs take the z-window
+    # band layout, exercising the zwin branch of the prepared path
+    ((16, 16, 32), (32, 32, 32), (32, 32, 32), (32, 32)),
+])
+def test_prepared_bands_match_inline(rng, channels):
+    """prepare_variables' walker must produce the exact bands the forward
+    would build inline — any structural drift between _band_sites and
+    PillarSparseEncoder.__call__ breaks this."""
+    from cmtcoop_tpu.models.pillar_encoder import (_encoder_bands,
+                                                   prepare_variables)
+
+    cfg = dict(CFG, encoder_channels=channels,
+               base_channels=channels[0][0],
+               output_channels=channels[-1][-1])
+    feats, coords, mask = _voxels(rng, b=1)
+    enc = PillarSparseEncoder(pillar_caps=(256, 256, 256, 256), **cfg)
+    variables = _perturb_stats(enc.init(jax.random.PRNGKey(0), feats,
+                                        coords, mask), rng)
+
+    out_plain = enc.apply(variables, feats, coords, mask)
+    prepared = _encoder_bands(
+        enc, variables["params"], variables["batch_stats"],
+        cin0=feats.shape[-1])
+    out_prep = enc.apply(dict(variables, prepared=prepared),
+                         feats, coords, mask)
+    np.testing.assert_array_equal(np.asarray(out_prep),
+                                  np.asarray(out_plain))
+    # every fused conv site got a prepared band
+    n_bands = len(jax.tree.leaves(prepared))
+    n_kernels = sum(1 for p in jax.tree_util.tree_leaves_with_path(
+        variables["params"])
+        if p[0][-1].key == "kernel" and "conv" in str(p[0][-2].key))
+    assert n_bands == n_kernels, (n_bands, n_kernels)
+
+
+def test_prepare_variables_detector(rng):
+    """End-to-end: prepare_variables on a CmtDetector changes nothing in
+    the decoded forward and adds the prepared collection per agent."""
+    from cmtcoop_tpu.models.detector import CmtDetector
+    from cmtcoop_tpu.models.pillar_encoder import prepare_variables
+
+    model = CmtDetector(
+        use_lidar=True, use_camera=False,
+        extractor_kwargs=dict(
+            grid_size=(16, 16, 40), voxel_size=(9.0, 9.0, 0.2),
+            max_voxels=96, pillar_caps=(256,) * 4,
+            sparse_base_channels=4,
+            sparse_channels=((4, 4, 8), (8, 8, 8), (8, 8, 8), (8, 8)),
+            sparse_out_channels=8,
+            second_channels=(8, 16), second_layers=(1, 1),
+            fpn_channels=(16, 16)),
+        head_kwargs=dict(num_query=16, in_channels=32, hidden_dim=32,
+                         num_heads=2, num_decoder_layers=1,
+                         feedforward_channels=64, max_gt=4))
+    batch = {
+        "points": jnp.asarray(
+            rng.normal(size=(1, 128, 5)).astype(np.float32)) * 3.0,
+        "points_mask": jnp.ones((1, 128), bool),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    prepped = prepare_variables(model, variables)
+    assert "prepared" in prepped
+    assert "extractor" in prepped["prepared"]
+
+    out_plain = model.apply(variables, batch)
+    out_prep = model.apply(prepped, batch)
+    for a, b in zip(jax.tree.leaves(out_plain), jax.tree.leaves(out_prep)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -44,6 +44,8 @@ def main():
             [synthetic_sample(preset, np.random.default_rng(0),
                               with_gt=False)])
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    from cmtcoop_tpu.models.pillar_encoder import prepare_variables
+    variables = prepare_variables(model, variables)
 
     @jax.jit
     def forward(variables, batch):

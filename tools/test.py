@@ -69,6 +69,10 @@ def main():
             restored, dict) else restored.params
         variables = dict(variables)
         variables["params"] = params
+    # hoist frame-invariant pillar band matrices (AFTER weight loading —
+    # prepared values are derived from params/batch_stats)
+    from cmtcoop_tpu.models.pillar_encoder import prepare_variables
+    variables = prepare_variables(model, variables)
 
     @jax.jit
     def forward(variables, batch):
