@@ -251,12 +251,14 @@ def _fused_kernel(starts_ref, nbrl_ref, blkact_ref, *rest, win, bp, kb,
 
 
 def _band_contract(gs, band_ref, bp, kb, zoco, tiles, cin, cout):
-    """Shared band contraction: gs[j] (bp, ZCP) gathered tap rows."""
+    """Shared band contraction: gs[j] (bp, ZCP) gathered tap rows.
+    band_ref carries a leading per-agent block dim of 1 (the BlockSpec
+    selects the agent's band via block_index // nb)."""
     if tiles is None:
         acc = jnp.zeros((bp, zoco), jnp.float32)
         for j in range(kb):
             acc = acc + jax.lax.dot_general(
-                gs[j], band_ref[j], (((1,), (0,)), ((), ())),
+                gs[j], band_ref[0, j], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         return acc
     t, tin, tstarts = tiles
@@ -266,7 +268,7 @@ def _band_contract(gs, band_ref, bp, kb, zoco, tiles, cin, cout):
         lo = s0 * cin
         for j in range(kb):
             a = a + jax.lax.dot_general(
-                gs[j][:, lo:lo + tin * cin], band_ref[j, ti],
+                gs[j][:, lo:lo + tin * cin], band_ref[0, j, ti],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         cols.append(a)
@@ -446,8 +448,10 @@ def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
     w_hi = buf_hi[blk % 2]
     if subm:
         # own-block rows sit at guard offset PADG plus the clamp slack
-        # (starts are clamped to the array; off in [0, 2*PADG])
-        mid0 = blk * bp - starts_ref[blk, 1] + PADG
+        # (starts are clamped; starts column 3 carries the block's own
+        # absolute row start — = blk*bp only when rows are unpadded and
+        # single-agent, so it travels explicitly)
+        mid0 = starts_ref[blk, 3] - starts_ref[blk, 1] + PADG
 
     # M-stacked one-hot gathers: the 3 taps of a dy group share one
     # window, so their one-hots stack along M into ONE (3*bp, win) @
@@ -476,7 +480,7 @@ def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
         # a multiple of 8 by construction: bp, PADG, prow, win_mid all
         # are), then static +-1 sub-slices of the value — Mosaic cannot
         # prove unaligned dynamic sublane offsets
-        off = pl.multiple_of(mid0 - PADG, 8)
+        off = pl.multiple_of(mid0 - PADG, 8)  # own - s1, all multiples of 8
         wm = buf_mid[blk % 2, pl.ds(off, bp + 2 * PADG)]
         gs.append(wm[PADG - 1:PADG - 1 + bp] * m[:, 0:1])
         gs.append(wm[PADG:PADG + bp] * m[:, 1:2])
@@ -513,7 +517,7 @@ def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
             for j in range(9):
                 kbuf[:, j * tcp:(j + 1) * tcp] = gs[j][:, lo:lo + tcp]
             cols.append(jax.lax.dot_general(
-                kbuf[...], band_ref[ti], (((1,), (0,)), ((), ())),
+                kbuf[...], band_ref[0, ti], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
         acc = jnp.concatenate(cols, axis=1)[:, :zoco_c]
     if zwin:
@@ -593,6 +597,7 @@ def fused_pillar_conv(
     fold_occ: bool = False,
     packed_shape: Optional[Tuple[int, int]] = None,  # (Z_in, Cin)
     emit_occ_lanes: bool = False,
+    agents: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """conv (+BN eval) (+residual) (+ReLU) (+occupancy mask), one kernel.
@@ -619,16 +624,47 @@ def fused_pillar_conv(
     following down conv's `fold_occ` reads it; with `fold_occ` under
     packed input the occupancy must already sit in feats' lanes
     [zc, zc+Z_in) (the producing conv emitted it).
+
+    Agent batching (`agents=A`, coop eval): every array operand carries a
+    leading agent dim — feats (A, P, ZCP) [packed only], nbr (A, P, KB),
+    weights (A, K, Cin, Cout), scale/bias (A, Cout), occ/residual/band
+    likewise — and the A agents' convs run as ONE kernel launch over a
+    flat (A*nb,) block grid: rows are laid out as A contiguous segments
+    of a flat (A*prow, ZCP) array (window starts carry the segment
+    offset, so windows never cross agents), while the per-agent band and
+    bias ride BlockSpecs indexed by block//nb. One launch instead of A
+    pipelines the window DMAs across the agent boundary and halves the
+    XLA-side planning ops. Returns (A, P_out, OW) (+ (A, P_out, Z_out)
+    occupancy for fold_occ). The retry ladder is shared: one agent's
+    overflow retries both (rare by construction).
     """
+    batched = agents is not None
+    a_n = agents if batched else 1
+    if batched:
+        assert packed_shape is not None and feats.ndim == 3, (
+            "agent batching requires packed rows")
+        assert feats.shape[0] == a_n and nbr.shape[0] == a_n
+        assert weights.ndim == 4 and weights.shape[0] == a_n
+    else:
+        feats = feats[None]
+        nbr = nbr[None]
+        weights = weights[None]
+        scale = None if scale is None else scale[None]
+        bias = None if bias is None else bias[None]
+        occ_out = None if occ_out is None else occ_out[None]
+        residual = None if residual is None else residual[None]
+        occ_in = None if occ_in is None else occ_in[None]
+        band = None if band is None else band[None]
+
     if packed_shape is not None:
         z_in, cin = packed_shape
-        p_in, zcp = feats.shape
+        _, p_in, zcp = feats.shape
         assert zcp % 128 == 0 and zcp >= z_in * cin, (zcp, packed_shape)
     else:
-        p_in, z_in, cin = feats.shape
+        _, p_in, z_in, cin = feats.shape
         zcp = _round_up(z_in * cin + (z_in if fold_occ else 0), 128)
-    p_out, kb = nbr.shape
-    cout = weights.shape[2]
+    p_out, kb = nbr.shape[1], nbr.shape[2]
+    cout = weights.shape[3]
     z_out = (z_in + 2 * z_pad - kz) // z_stride + 1
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -641,99 +677,146 @@ def fused_pillar_conv(
         assert packed and zoco + z_out <= ow and (
             occ_out is not None or fold_occ), (zoco, z_out, ow)
     nb = p_out // bp
+    nbt = a_n * nb  # total kernel blocks across agents
     use_v2 = kb == 9
 
     if fold_occ:
         assert occ_out is None and not subm
         assert occ_in is not None or packed
 
-    def feats3():
+    # ---- per-agent slow/fallback helpers (unbatched slices) ----
+    def feats3(f):
         if packed:
-            return feats[:, :zc].reshape(p_in, z_in, cin)
-        return feats
+            return f[:, :zc].reshape(p_in, z_in, cin)
+        return f
 
-    def occ_in3():
-        if occ_in is not None:
-            return occ_in
-        return feats[:, zc:zc + z_in] > 0.5  # packed occ lanes
+    def occ_in3(f, oi):
+        if oi is not None:
+            return oi
+        return f[:, zc:zc + z_in] > 0.5  # packed occ lanes
 
-    def pack_out(out3, occ_vals=None):
-        """(P, Z_out, Cout) -> packed rows for the slow/unsupported
-        paths, preserving the packed conventions."""
-        if not packed:
-            return out3
+    def residual3(r):
+        if r is None or not packed:
+            return r
+        return r[:, :zoco].reshape(p_out, z_out, cout)
+
+    def rows_out(out3, occ_vals=None):
+        """(P, Z_out, Cout) -> output rows (P, OW), packed conventions."""
         r = out3.reshape(p_out, zoco)
         parts, wnow = [r], zoco
-        if emit_occ_lanes:
+        if emit_occ_lanes and occ_vals is not None:
             parts.append(occ_vals.astype(r.dtype))
             wnow += z_out
         if ow > wnow:
             parts.append(jnp.zeros((p_out, ow - wnow), r.dtype))
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 else r
 
-    def xla_fold(_=None):
-        occ_x = pu.occ_downsample(occ_in3(), nbr, kz, z_stride, z_pad)
-        out = _xla_reference(feats3(), nbr, weights, kz, z_stride, z_pad,
-                             scale, bias, occ_x, residual_3d(), relu)
-        return pack_out(out, occ_x), occ_x
+    def slow_fold_one(f, nb_, w_, s_, b_, oi, res):
+        occ_x = pu.occ_downsample(occ_in3(f, oi), nb_, kz, z_stride, z_pad)
+        out = _xla_reference(feats3(f), nb_, w_, kz, z_stride, z_pad,
+                             s_, b_, occ_x, residual3(res), relu)
+        return rows_out(out, occ_x), occ_x.astype(out.dtype)
 
-    def residual_3d():
-        if residual is None or not packed:
-            return residual
-        return residual[:, :zoco].reshape(p_out, z_out, cout)
+    def slow_plain_one(f, nb_, w_, s_, b_, oo, res):
+        out = _xla_reference(feats3(f), nb_, w_, kz, z_stride, z_pad,
+                             s_, b_, oo, residual3(res), relu)
+        return rows_out(out, oo)
 
-    unsupported = (p_out % bp != 0 or kb * kz != weights.shape[0]
+    def map_agents(fn, *ops):
+        """Run per-agent `fn` over stacked operands (None passes through;
+        direct call at A=1 — a length-1 scan costs real dispatch time)."""
+        present = [i for i, o in enumerate(ops) if o is not None]
+
+        def call(sel):
+            full = list(ops)
+            for i, v in zip(present, sel):
+                full[i] = v
+            return fn(*full)
+
+        sel_ops = tuple(ops[i] for i in present)
+        if a_n == 1:
+            return jax.tree.map(
+                lambda x: x[None], call(tuple(o[0] for o in sel_ops)))
+        return jax.lax.map(call, sel_ops)
+
+    def final_out(out_rows):   # (A, P_out, OW) stacked rows
+        if not packed:
+            out_rows = out_rows[..., :zoco].reshape(
+                a_n, p_out, z_out, cout)
+        return out_rows if batched else out_rows[0]
+
+    def final_occ(occ_f):      # (A, P_out, Z_out) float or bool
+        occ_b = occ_f if occ_f.dtype == jnp.bool_ else occ_f > 0.5
+        return occ_b if batched else occ_b[0]
+
+    unsupported = (p_out % bp != 0 or kb * kz != weights.shape[1]
                    or p_in < 8 or win % 8 != 0
                    or (subm and p_out != p_in)
+                   or (batched and p_in % 8 != 0)
                    or (fold_occ and (not use_v2 or zc + z_in > zcp)))
     if unsupported:
         if fold_occ:
-            return xla_fold()
-        out = _xla_reference(feats3(), nbr, weights, kz, z_stride, z_pad,
-                             scale, bias, occ_out, residual_3d(), relu)
-        return pack_out(out, occ_out)
+            out, occ_f = map_agents(slow_fold_one, feats, nbr, weights,
+                                    scale, bias, occ_in, residual)
+            return final_out(out), final_occ(occ_f)
+        out = map_agents(slow_plain_one, feats, nbr, weights, scale,
+                         bias, occ_out, residual)
+        return final_out(out)
 
     if packed:
         rows = feats
     else:
-        rows = feats.reshape(p_in, zc)
+        rows = feats.reshape(a_n, p_in, zc)
         if fold_occ:
             rows = jnp.concatenate(
-                [rows, occ_in.astype(rows.dtype)], axis=1)
-        if zcp != rows.shape[1]:
-            rows = jnp.pad(rows, ((0, 0), (0, zcp - rows.shape[1])))
+                [rows, occ_in.astype(rows.dtype)], axis=2)
+        if zcp != rows.shape[2]:
+            rows = jnp.pad(rows, ((0, 0), (0, 0),
+                                  (0, zcp - rows.shape[2])))
 
-    nblk = nbr.reshape(nb, bp, kb)
+    nblk = nbr.reshape(nbt, bp, kb)
     # dead-block gate: a block whose output sites are all unoccupied (or,
     # for fold_occ, whose taps are all misses) produces exact zeros through
     # the occupancy epilogue — skip its DMAs and matmuls in-kernel. The
     # pillar caps carry ~20% margin over real occupancy plus the invalid
     # tail, so this recovers the margin cost at full caps.
     if occ_out is not None:
-        blk_act = occ_out.astype(bool).reshape(nb, bp, -1).any(axis=(1, 2))
+        blk_act = occ_out.astype(bool).reshape(nbt, bp, -1).any(axis=(1, 2))
     elif fold_occ:
         blk_act = (nblk < p_in).any(axis=(1, 2))
     else:
-        blk_act = jnp.ones((nb,), bool)
+        blk_act = jnp.ones((nbt,), bool)
     if use_v2:
         win_mid = bp + 2 * PADG if subm else win
         # no whole-array guard/tail pad: window starts are CLAMPED to the
-        # row array instead (one-hot misses make out-of-window taps exact
-        # zeros, so a clamped window only needs to contain the valid taps,
-        # which the overflow guard already certifies). Tiny inputs that
-        # cannot fit the 2x retry window keep a tail pad (test shapes).
+        # agent's row segment instead (one-hot misses make out-of-window
+        # taps exact zeros, so a clamped window only needs to contain the
+        # valid taps, which the overflow guard already certifies). Tiny
+        # inputs that cannot fit the 2x retry window keep a tail pad
+        # (test shapes); batched rows pad to a block multiple so absolute
+        # row//bp block indexing stays exact across segments.
         need = max(2 * win, win_mid)
-        if rows.shape[0] < need:
-            rows = jnp.pad(rows, ((0, need - rows.shape[0]), (0, 0)))
-        prow = rows.shape[0]
+        if batched:
+            need = _round_up(need, bp)
+        if rows.shape[1] < need:
+            rows = jnp.pad(rows, ((0, 0), (0, need - rows.shape[1]),
+                                  (0, 0)))
+        prow = rows.shape[1]
+        # per-block agent segment offset into the flat (A*prow) rows, and
+        # each block's own absolute row start (subm mid window)
+        seg = (jnp.arange(nbt, dtype=jnp.int32) // nb) * prow
+        own = seg + (jnp.arange(nbt, dtype=jnp.int32) % nb) * bp
 
         def group(taps, wind):
-            vals = nblk[:, :, taps]                      # (nb, bp, 3)
-            gvalid = vals < p_in
-            gmin = jnp.min(jnp.where(gvalid, vals, p_in), axis=(1, 2))
-            gstart = (jnp.clip(gmin, 0, prow - wind) // 8 * 8).astype(
-                jnp.int32)
-            loc = vals - gstart[:, None, None]
+            vals = nblk[:, :, taps]                      # (nbt, bp, 3)
+            gvalid = vals < p_in                         # per-agent ids
+            vabs = vals + seg[:, None, None]             # flat row ids
+            gmin = jnp.min(
+                jnp.where(gvalid, vabs, seg[:, None, None] + p_in),
+                axis=(1, 2))
+            gstart = (jnp.clip(gmin, seg, seg + prow - wind)
+                      // 8 * 8).astype(jnp.int32)
+            loc = vabs - gstart[:, None, None]
             inw = gvalid & (loc >= 0) & (loc < wind)
             # dead blocks never execute: their taps can't overflow
             ovf = jnp.any((gvalid & ~inw) & blk_act[:, None, None])
@@ -745,23 +828,22 @@ def fused_pillar_conv(
             s2, loc2, ovf2 = group([6, 7, 8], wind)
             if subm:
                 overflow = ovf0 | ovf2 | struct_bad
-                # own-rows mid window, clamped; the kernel re-derives the
-                # block's offset (blk*bp - s1) against its guard rows
-                s1 = jnp.clip(
-                    jnp.arange(nb, dtype=jnp.int32) * bp - PADG,
-                    0, prow - win_mid)
+                # own-rows mid window, clamped within the agent segment;
+                # the kernel re-derives the block's offset (own - s1)
+                # against its guard rows
+                s1 = jnp.clip(own - PADG, seg, seg + prow - win_mid)
                 local = jnp.concatenate(
-                    [loc0, loc2], axis=2).reshape(nb * bp, 6)
+                    [loc0, loc2], axis=2).reshape(nbt * bp, 6)
             else:
                 s1, loc1, ovf1 = group([3, 4, 5], wind)
                 overflow = ovf0 | ovf1 | ovf2
                 local = jnp.concatenate(
-                    [loc0, loc1, loc2], axis=2).reshape(nb * bp, 9)
-            return jnp.stack([s0, s1, s2], axis=1), local, overflow
+                    [loc0, loc1, loc2], axis=2).reshape(nbt * bp, 9)
+            return jnp.stack([s0, s1, s2, own], axis=1), local, overflow
 
         if subm:
-            gidx = jnp.arange(p_out, dtype=jnp.int32)
-            flat = nbr
+            gidx = jnp.tile(jnp.arange(p_out, dtype=jnp.int32), a_n)
+            flat = nbr.reshape(a_n * p_out, kb)
             ok = ((flat[:, 4] == gidx) | (flat[:, 4] == p_in)) & \
                  ((flat[:, 3] == gidx - 1) | (flat[:, 3] == p_in)) & \
                  ((flat[:, 5] == gidx + 1) | (flat[:, 5] == p_in))
@@ -785,7 +867,7 @@ def fused_pillar_conv(
         if zwin:
             zq_ = max(128 // cin, 128 // cout, 2)
             zidx = jnp.arange(z_in, dtype=jnp.int32)
-            ob = occ_out.astype(bool)
+            ob = occ_out.astype(bool).reshape(a_n * p_out, z_out)
             zmin_p = jnp.min(jnp.where(ob, zidx[None, :], z_in), axis=1)
             zmax_p = jnp.max(jnp.where(ob, zidx[None, :], -1), axis=1)
             # two-stage block reduction (a direct reduce_window with a
@@ -793,23 +875,36 @@ def fused_pillar_conv(
             # min/max, then per-plan union over the blocks each window
             # DMA actually reads (derived from the clamped starts, NOT a
             # fixed block neighborhood — windows can land far from the
-            # block's own rows on dense clouds)
-            bmin = zmin_p.reshape(nb, bp).min(axis=1)
-            bmax = zmax_p.reshape(nb, bp).max(axis=1)
-            nbp = prow // bp + 2
+            # block's own rows on dense clouds). Per-agent sentinel
+            # padding keeps absolute-row-block indexing exact when rows
+            # are padded; a window's +2 slack can peek into the next
+            # agent's first blocks, which only widens the z union
+            # (conservative, still exact).
+            bmin = zmin_p.reshape(nbt, bp).min(axis=1)
+            bmax = zmax_p.reshape(nbt, bp).max(axis=1)
+            nbp_a = prow // bp
+            pad_a = nbp_a - nb
+            bmin2 = bmin.reshape(a_n, nb)
+            bmax2 = bmax.reshape(a_n, nb)
+            if pad_a > 0:
+                bmin2 = jnp.pad(bmin2, ((0, 0), (0, pad_a)),
+                                constant_values=z_in)
+                bmax2 = jnp.pad(bmax2, ((0, 0), (0, pad_a)),
+                                constant_values=-1)
             bminp = jnp.concatenate(
-                [bmin, jnp.full((nbp - nb,), z_in, bmin.dtype)])
+                [bmin2.reshape(-1), jnp.full((2,), z_in, bmin.dtype)])
             bmaxp = jnp.concatenate(
-                [bmax, jnp.full((nbp - nb,), -1, bmax.dtype)])
+                [bmax2.reshape(-1), jnp.full((2,), -1, bmax.dtype)])
+            nbp_tot = int(bminp.shape[0])
 
             def zplan(starts_arr, wind):
-                zlo = jnp.full((nb,), z_in, jnp.int32)
-                zhi = jnp.full((nb,), -1, jnp.int32)
+                zlo = jnp.full((nbt,), z_in, jnp.int32)
+                zhi = jnp.full((nbt,), -1, jnp.int32)
                 for g in range(3):
                     wg = win_mid if (subm and g == 1) else wind
                     first = starts_arr[:, g] // bp
                     for k in range(wg // bp + 2):
-                        idx = jnp.minimum(first + k, nbp - 1)
+                        idx = jnp.minimum(first + k, nbp_tot - 1)
                         zlo = jnp.minimum(zlo, bminp[idx])
                         zhi = jnp.maximum(zhi, bmaxp[idx])
                 zo = jnp.clip((zlo - 1) // zq_ * zq_, 0,
@@ -824,16 +919,21 @@ def fused_pillar_conv(
             z_ovf = jnp.zeros((), bool)
     else:
         if p_in < win:
-            rows = jnp.pad(rows, ((0, win - p_in), (0, 0)))
+            rows = jnp.pad(rows, ((0, 0), (0, win - p_in), (0, 0)))
+        prow = rows.shape[1]
+        seg = (jnp.arange(nbt, dtype=jnp.int32) // nb) * prow
         valid = nblk < p_in
-        start = jnp.min(jnp.where(valid, nblk, p_in), axis=(1, 2))
-        start = (jnp.clip(start, 0, max(p_in - win, 0)) // 8 * 8).astype(
-            jnp.int32)
-        local = nblk - start[:, None, None]
+        vabs = nblk + seg[:, None, None]
+        start = jnp.min(
+            jnp.where(valid, vabs, seg[:, None, None] + p_in),
+            axis=(1, 2))
+        start = (jnp.clip(start, seg, seg + max(prow - win, 0))
+                 // 8 * 8).astype(jnp.int32)
+        local = vabs - start[:, None, None]
         in_win = (local >= 0) & (local < win)
         overflow = jnp.any((valid & ~in_win) & blk_act[:, None, None])
         local = jnp.where(valid & in_win, local, win).astype(jnp.int32)
-        local = local.reshape(nb * bp, kb)
+        local = local.reshape(nbt * bp, kb)
         adj = None
         zwin, zoffs, z_ovf = None, None, jnp.zeros((), bool)
 
@@ -843,10 +943,12 @@ def fused_pillar_conv(
             z_pad=z_pad, kb=kb, subm=subm,
             has_occ_out=occ_out is not None, fold_occ=fold_occ)
     if band is None:
-        band = build_band(weights, scale, z_in=z_in, cin=cin, cout=cout,
-                          kz=kz, z_stride=z_stride, z_pad=z_pad,
-                          zwin=zwin, tiles=tiles, zcp=zcp,
-                          dtype=feats.dtype)
+        bb = functools.partial(
+            build_band, z_in=z_in, cin=cin, cout=cout, kz=kz,
+            z_stride=z_stride, z_pad=z_pad, zwin=zwin, tiles=tiles,
+            zcp=zcp, dtype=feats.dtype)
+        band = (jax.vmap(lambda w_: bb(w_, None))(weights)
+                if scale is None else jax.vmap(bb)(weights, scale))
     else:
         band = band.astype(feats.dtype)
 
@@ -874,16 +976,32 @@ def fused_pillar_conv(
     if has_occ:
         in_specs.append(pl.BlockSpec((bp, z_out), lambda b: (b, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(occ_out.astype(feats.dtype))
+        operands.append(
+            occ_out.reshape(a_n * p_out, z_out).astype(feats.dtype))
     if has_resid:
         rw = residual.shape[-1] if packed else zoco
         in_specs.append(pl.BlockSpec((bp, rw), lambda b: (b, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(residual.reshape(p_out, rw).astype(feats.dtype))
+        operands.append(
+            residual.reshape(a_n * p_out, rw).astype(feats.dtype))
     if has_bias:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        bias_row = jnp.tile(bias.astype(jnp.float32), z_out)[None, :]
-        operands.append(bias_row)
+        bias_rows = jnp.tile(bias.astype(jnp.float32), (1, z_out))
+        if batched:
+            # per-agent bias row, selected by the block's agent
+            # (block//nb). Each agent's row is replicated to 8 sublanes:
+            # TPU block shapes need an 8-divisible sublane dim (a
+            # (1, zoco) block over an (A, zoco) array fails Mosaic's
+            # divisibility check on hardware — interpret mode does not
+            # enforce it).
+            in_specs.append(pl.BlockSpec(
+                (8, zoco), lambda b: (b // nb, 0),
+                memory_space=pltpu.VMEM))
+            operands.append(jnp.repeat(bias_rows, 8, axis=0))
+        else:
+            # unbatched: full-array spec — a BLOCKED spec would make
+            # Mosaic double-buffer the row (2x VMEM for a constant)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            operands.append(bias_rows)
     if has_occ or fold_occ:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         e = jnp.repeat(jnp.eye(z_out, dtype=feats.dtype), cout, axis=1)
@@ -898,11 +1016,21 @@ def fused_pillar_conv(
             axis=0).astype(feats.dtype)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(s_mat)
-    in_specs += [
-        pl.BlockSpec(memory_space=pl.ANY),                        # rows
-        pl.BlockSpec(memory_space=pltpu.VMEM),                    # band
-    ]
-    operands += [rows, band]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))            # rows
+    if batched:
+        # per-agent band block (block//nb). Blocked specs are
+        # double-buffered by Mosaic — acceptable here because the agent
+        # pipelining is the point of the batched launch.
+        band_zeros = (0,) * (band.ndim - 1)
+        in_specs.append(pl.BlockSpec(
+            (1,) + band.shape[1:], lambda b: (b // nb,) + band_zeros,
+            memory_space=pltpu.VMEM))
+    else:
+        # unbatched: full-array spec — a blocked spec would double-buffer
+        # the (up to ~2 MB) band and blow the 16M scoped-VMEM budget at
+        # the deep-stage retry windows
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    operands += [rows.reshape(a_n * prow, zcp), band]
 
     fold = (z_in, z_out, zc) if fold_occ else None
 
@@ -941,17 +1069,17 @@ def fused_pillar_conv(
             ]
         out_specs = pl.BlockSpec((bp, ow), lambda b: (b, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((p_out, ow), feats.dtype)
+        out_shape = jax.ShapeDtypeStruct((a_n * p_out, ow), feats.dtype)
         if fold_occ:
             out_specs = [out_specs,
                          pl.BlockSpec((bp, z_out), lambda b: (b, 0),
                                       memory_space=pltpu.VMEM)]
             out_shape = [out_shape,
-                         jax.ShapeDtypeStruct((p_out, z_out),
+                         jax.ShapeDtypeStruct((a_n * p_out, z_out),
                                               feats.dtype)]
         return pl.pallas_call(
             body,
-            grid=(nb,),
+            grid=(nbt,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
@@ -962,29 +1090,30 @@ def fused_pillar_conv(
         )
 
     def shape_out(res):
+        """Flat kernel outputs -> stacked (A, P_out, ...)."""
         if fold_occ:
             out, occ_f = res
-            if packed:
-                return out, occ_f > 0.5
-            return out.reshape(p_out, z_out, cout), occ_f > 0.5
-        if packed:
-            return res
-        return res.reshape(p_out, z_out, cout)
+            return (out.reshape(a_n, p_out, ow),
+                    occ_f.reshape(a_n, p_out, z_out))
+        return res.reshape(a_n, p_out, ow)
 
     if fold_occ:
         def slow(_):
-            out, occ_f = xla_fold()
+            out, occ_f = map_agents(slow_fold_one, feats, nbr, weights,
+                                    scale, bias, occ_in, residual)
             if packed:
-                out = _pin_rows_layout(out, bp, interpret)
+                out = _pin_rows_layout(
+                    out.reshape(a_n * p_out, ow), bp,
+                    interpret).reshape(a_n, p_out, ow)
             return out, occ_f
     else:
         def slow(_):
-            out = _xla_reference(feats3(), nbr, weights, kz, z_stride,
-                                 z_pad, scale, bias, occ_out,
-                                 residual_3d(), relu)
-            out = pack_out(out, occ_out)
+            out = map_agents(slow_plain_one, feats, nbr, weights, scale,
+                             bias, occ_out, residual)
             if packed:
-                out = _pin_rows_layout(out, bp, interpret)
+                out = _pin_rows_layout(
+                    out.reshape(a_n * p_out, ow), bp,
+                    interpret).reshape(a_n, p_out, ow)
             return out
 
     def ops_with(zo):
@@ -996,8 +1125,14 @@ def fused_pillar_conv(
     def fast(_):
         return shape_out(make_kernel(win)(start, local, *operands))
 
+    def finalize(res):
+        if fold_occ:
+            out, occ_f = res
+            return final_out(out), final_occ(occ_f)
+        return final_out(res)
+
     if not use_v2:
-        return jax.lax.cond(overflow, slow, fast, None)
+        return finalize(jax.lax.cond(overflow, slow, fast, None))
 
     # retry ladder: win -> 2x win -> XLA reference. Windows are sized to
     # measured p100 spans with thin margins; an unusual cloud pays one 2x
@@ -1019,4 +1154,4 @@ def fused_pillar_conv(
     def laddered(_):
         return jax.lax.cond(overflow | z_ovf, retry, fast, None)
 
-    return laddered(None)
+    return finalize(laddered(None))

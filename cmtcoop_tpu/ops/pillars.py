@@ -526,7 +526,9 @@ def pillarize(
         # (128, bwin) @ (bwin, Z*(F+1)) MXU matmul over the block's
         # contiguous point window. (A per-pillar einsum with N=F is
         # batch-49k of tiny matmuls — measured 12x slower.)
-        bp = 128
+        # block size clamps to the cap so tiny configs (max_pillars <
+        # 128, e.g. the dryrun's 64-pillar encoder) keep nb >= 1
+        bp = min(128, max_pillars)
         bwin = 4 * win
         nb = max_pillars // bp
         zoh = ((skey % z_extent)[:, None] ==

@@ -393,3 +393,127 @@ def test_bp256_subm_parity(rng):
     ref = _xla_reference(jnp.asarray(feats), nbr, jnp.asarray(w), 3, 1, 1,
                          scale, bias, jnp.asarray(occ), None, True)
     _check(got, ref, tol=2e-4)
+
+
+# ---- agent batching (agents=A stacked operands, one flat-grid launch) ----
+
+def _agent_case(seed, z=8, c=4, co=4):
+    r2 = np.random.default_rng(seed + 10)
+    grid, _ = _grid(r2, z=z)
+    nbr = pu.pillar_neighbor_map(grid)
+    p = grid.coords.shape[0]
+    occ = r2.uniform(size=(p, z)) < 0.5
+    occ &= np.asarray(grid.mask)[:, None]
+    feats = (r2.normal(size=(p, z, c)) * occ[..., None]).astype(np.float32)
+    w = r2.normal(size=(27, c, co)).astype(np.float32) * 0.3
+    scale = r2.normal(size=(co,)).astype(np.float32)
+    bias = r2.normal(size=(co,)).astype(np.float32)
+    return grid, feats, nbr, w, occ, scale, bias
+
+
+def _occ_rows(feats, occ, zcp):
+    """Packed rows with occupancy riding the pad lanes [zc, zc+z)."""
+    p, z, c = feats.shape
+    zc = z * c
+    return np.concatenate(
+        [feats.reshape(p, zc), occ.astype(np.float32),
+         np.zeros((p, zcp - zc - z), np.float32)], axis=1)
+
+
+def test_agent_batched_subm_matches_per_agent(rng):
+    """agents=2 stacked subm conv == two per-agent calls (different
+    clouds, different weights/BN per agent)."""
+    z, c, zcp = 8, 4, 128
+    cases = [_agent_case(s) for s in (0, 1)]
+    kw = dict(kz=3, z_stride=1, z_pad=1, subm=True, relu=True,
+              packed_shape=(z, c), emit_occ_lanes=True, interpret=True)
+    refs, ops = [], []
+    for grid, feats, nbr, w, occ, scale, bias in cases:
+        rows = jnp.asarray(_occ_rows(feats, occ, zcp))
+        p = feats.shape[0]
+        resid = jnp.asarray(
+            np.random.default_rng(3).normal(size=(p, zcp)).astype(
+                np.float32))
+        refs.append(fused_pillar_conv(
+            rows, nbr, jnp.asarray(w), scale=jnp.asarray(scale),
+            bias=jnp.asarray(bias), occ_out=jnp.asarray(occ),
+            residual=resid, **kw))
+        ops.append((rows, nbr, w, scale, bias, occ, resid))
+    st = lambda i: jnp.stack([jnp.asarray(o[i]) for o in ops])
+    got = fused_pillar_conv(
+        st(0), st(1), st(2), scale=st(3), bias=st(4), occ_out=st(5),
+        residual=st(6), agents=2, **kw)
+    _check(got[0], refs[0])
+    _check(got[1], refs[1])
+
+
+def test_agent_batched_down_fold_occ(rng):
+    """agents=2 strided down conv with in-kernel occupancy fold."""
+    z, c, zcp = 8, 4, 128
+    cases = [_agent_case(s, co=6) for s in (2, 3)]
+    kw = dict(kz=3, z_stride=2, z_pad=1, fold_occ=True,
+              packed_shape=(z, c), relu=True, interpret=True)
+    refs, ops = [], []
+    for grid, feats, nbr, w, occ, scale, bias in cases:
+        out_grid = pu.pillar_downsample_grid(grid, 128)
+        nbr_dn = pu.pillar_conv_neighbor_map(grid, out_grid)
+        rows = jnp.asarray(_occ_rows(feats, occ, zcp))
+        refs.append(fused_pillar_conv(
+            rows, nbr_dn, jnp.asarray(w), scale=jnp.asarray(scale),
+            bias=jnp.asarray(bias), **kw))
+        ops.append((rows, nbr_dn, w, scale, bias))
+    st = lambda i: jnp.stack([jnp.asarray(o[i]) for o in ops])
+    got_out, got_occ = fused_pillar_conv(
+        st(0), st(1), st(2), scale=st(3), bias=st(4), agents=2, **kw)
+    for i in (0, 1):
+        _check(got_out[i], refs[i][0])
+        np.testing.assert_array_equal(np.asarray(got_occ[i]),
+                                      np.asarray(refs[i][1]))
+
+
+def test_agent_batched_kb1_conv_out(rng):
+    """agents=2 conv_out-style kernel (kb=1, z-stride 2, BEV identity)."""
+    z, c, co, zcp = 8, 16, 8, 128
+    cases = [_agent_case(s, z=z, c=c, co=co) for s in (4, 5)]
+    kw = dict(kz=3, z_stride=2, z_pad=0, packed_shape=(z, c),
+              relu=True, interpret=True)
+    refs, ops = [], []
+    for grid, feats, nbr, w, occ, scale, bias in cases:
+        p = feats.shape[0]
+        ident = jnp.where(grid.mask, jnp.arange(p, dtype=jnp.int32),
+                          p)[:, None]
+        occ_ds = pu.occ_downsample(jnp.asarray(occ), ident, 3, 2, 0)
+        w1 = w[:3]
+        rows = jnp.asarray(feats.reshape(p, z * c))
+        refs.append(fused_pillar_conv(
+            rows, ident, jnp.asarray(w1), scale=jnp.asarray(scale),
+            bias=jnp.asarray(bias), occ_out=occ_ds, **kw))
+        ops.append((rows, ident, w1, scale, bias, occ_ds))
+    st = lambda i: jnp.stack([jnp.asarray(o[i]) for o in ops])
+    got = fused_pillar_conv(
+        st(0), st(1), st(2), scale=st(3), bias=st(4), occ_out=st(5),
+        agents=2, **kw)
+    _check(got[0], refs[0])
+    _check(got[1], refs[1])
+
+
+def test_agent_batched_zwin_subm(rng):
+    """agents=2 subm conv at z-window-eligible dims (z=16, c=16)."""
+    z, c, zcp = 16, 16, 256
+    cases = [_agent_case(s, z=z, c=c, co=c) for s in (6, 7)]
+    kw = dict(kz=3, z_stride=1, z_pad=1, subm=True, relu=True,
+              packed_shape=(z, c), interpret=True)
+    refs, ops = [], []
+    for grid, feats, nbr, w, occ, scale, bias in cases:
+        p = feats.shape[0]
+        rows = jnp.asarray(feats.reshape(p, z * c))
+        refs.append(fused_pillar_conv(
+            rows, nbr, jnp.asarray(w), scale=jnp.asarray(scale),
+            bias=jnp.asarray(bias), occ_out=jnp.asarray(occ), **kw))
+        ops.append((rows, nbr, w, scale, bias, occ))
+    st = lambda i: jnp.stack([jnp.asarray(o[i]) for o in ops])
+    got = fused_pillar_conv(
+        st(0), st(1), st(2), scale=st(3), bias=st(4), occ_out=st(5),
+        agents=2, **kw)
+    _check(got[0], refs[0])
+    _check(got[1], refs[1])
