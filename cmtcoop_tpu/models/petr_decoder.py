@@ -43,9 +43,11 @@ class MultiheadAttention(nn.Module):
 
     `attn_dropout` reproduces torch's attn_drop (dropout on the softmax
     weights) which the reference enables at 0.1 in both decoder attentions
-    (petr_transformer.py:68-82, config attn_cfgs dropout=0.1); it forces
-    the XLA attention path in train mode (the flash kernel is
-    dropout-free, eval-only).
+    (petr_transformer.py:68-82, config attn_cfgs dropout=0.1). On TPU the
+    long-KV cross-attention keeps the flash path in train mode — dropout
+    runs in-kernel and the backward is blocked (ops/attention.py), the
+    reference's train-inside-flash behavior (attention.py:70-92); the
+    DN-masked self-attention (2D bias) uses the XLA path.
 
     `impl="kv_shard"` runs the cross-attention with the KV token memory
     sharded over `kv_shard_mesh`'s `kv_shard_axis` (parallel/kv_shard.py
@@ -121,10 +123,14 @@ class MultiheadAttention(nn.Module):
                 block_q=self.kv_block_q, block_k=self.kv_block_k)
             out = out[:, :, :nq]
         else:
-            impl = "xla" if drop > 0.0 else self.impl
+            # train-time long-KV cross-attention now rides the flash
+            # kernel too (in-kernel dropout + blocked backward on TPU;
+            # attend's dispatch falls back to the XLA path on CPU or when
+            # a 2D bias is present)
             rng = self.make_rng("dropout") if drop > 0.0 else None
-            out = attend(qh, kh, vh, bias=bias, k_bias=k_bias, impl=impl,
-                         dropout_rate=drop, dropout_rng=rng)
+            out = attend(qh, kh, vh, bias=bias, k_bias=k_bias,
+                         impl=self.impl, dropout_rate=drop,
+                         dropout_rng=rng)
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, c)
         return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
 

@@ -16,12 +16,33 @@ import functools
 import math
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+
+
+def _dropout_keep(shape, rate):
+    """In-kernel inverted-dropout keep factor for the CURRENT tile.
+
+    Caller must have seeded the per-core PRNG with a tile-unique seed
+    (`_seed_tile`); forward and backward regenerate identical bits for a
+    tile as long as they use the same (block_q, block_k) decomposition.
+    Returns keep/(1-rate) as f32 (0.0 for dropped entries).
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return (bits >= thresh).astype(jnp.float32) * (1.0 / (1.0 - rate))
+
+
+def _seed_tile(seed_ref, b_idx, q_idx, kv_idx, n_q_blocks, n_k_blocks):
+    """Seed the PRNG uniquely per (batch*head, q-block, kv-block) tile."""
+    tid = (b_idx * n_q_blocks + q_idx) * n_k_blocks + kv_idx
+    pltpu.prng_seed(seed_ref[0], tid)
 
 
 def mha_reference(q, k, v, bias: Optional[jnp.ndarray] = None,
@@ -49,16 +70,25 @@ def mha_reference(q, k, v, bias: Optional[jnp.ndarray] = None,
         preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref, *rest,
-                  sm_scale, block_k, kv_len, with_stats):
+def _flash_kernel(q_ref, k_ref, v_ref, kmask_ref, *rest,
+                  sm_scale, block_k, kv_len, with_stats, dropout_rate):
     """One (batch*head, q-block) program: stream KV blocks with online
     softmax. kmask is a per-key additive bias row (encodes KV padding).
     With `with_stats`, also emits the per-query running (m, l) so callers
-    can merge partial attentions across KV shards (log-sum-exp combine)."""
-    if with_stats:
-        ml_ref, m_scr, l_scr, acc_scr = rest
-    else:
-        m_scr, l_scr, acc_scr = rest
+    can merge partial attentions across KV shards (log-sum-exp combine).
+
+    `dropout_rate > 0` applies inverted dropout to the NORMALIZED softmax
+    weights in-kernel (torch attn_drop semantics, the reference's
+    training-mode flash: attention.py:70-92 `self.dropout_p if
+    self.training else 0.0`): the per-tile keep mask multiplies the
+    accumulator contribution only — the normalizer l stays the full
+    softmax sum, so out = dropout(P) @ V exactly. Seeded per tile, so the
+    blocked backward regenerates identical bits."""
+    it = iter(rest)
+    seed_ref = next(it) if dropout_rate > 0.0 else None
+    o_ref = next(it)
+    ml_ref = next(it) if with_stats else None
+    m_scr, l_scr, acc_scr = it
     kv_idx = pl.program_id(2)
     is_first = kv_idx == 0
 
@@ -82,8 +112,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref, *rest,
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)
     l_new = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        _seed_tile(seed_ref, pl.program_id(0), pl.program_id(1), kv_idx,
+                   pl.num_programs(1), pl.num_programs(2))
+        pv = p * _dropout_keep(p.shape, dropout_rate)
+    else:
+        pv = p
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     m_scr[:] = m_new
     l_scr[:] = l_new
 
@@ -99,10 +135,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref, *rest,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_k", "interpret", "with_stats"))
+    static_argnames=("block_q", "block_k", "interpret", "with_stats",
+                     "dropout_rate"))
 def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
                            block_k: int = 1024, interpret: bool = False,
-                           with_stats: bool = False):
+                           with_stats: bool = False,
+                           dropout_rate: float = 0.0, seed=None):
     """Flash attention with a per-key additive bias (KV padding mask).
 
     Covers the reference's cross-attention use case (padding-only masking)
@@ -112,6 +150,10 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
     With `with_stats`, returns (out, m, l) where m/l are the per-query
     softmax running max and normalizer ((B,H,Nq) float32) — the sufficient
     statistics for merging attention over KV shards.
+
+    `dropout_rate > 0` (train) applies inverted dropout to the softmax
+    weights in-kernel, seeded by `seed` (int32 array (1,), required);
+    TPU-only — the interpret path has no PRNG lowering.
     """
     b, h, nq, d = q.shape
     nk = k.shape[2]
@@ -125,6 +167,17 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
             jnp.float32)
 
     grid = (bh, nq // block_q, nk // block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
+        pl.BlockSpec((1, 1, block_k), lambda b_, i, j: (b_, 0, j)),
+    ]
+    operands = [qr, kr, vr, biasr]
+    if dropout_rate > 0.0:
+        assert seed is not None, "dropout needs a seed"
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(seed, jnp.int32).reshape(1))
     out_specs = [
         pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0))]
     out_shapes = [jax.ShapeDtypeStruct((bh, nq, d), q.dtype)]
@@ -136,14 +189,9 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
     res = pl.pallas_call(
         functools.partial(
             _flash_kernel, sm_scale=1.0 / math.sqrt(d), block_k=block_k,
-            kv_len=nk, with_stats=with_stats),
+            kv_len=nk, with_stats=with_stats, dropout_rate=dropout_rate),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b_, i, j: (b_, 0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs if with_stats else out_specs[0],
         out_shape=out_shapes if with_stats else out_shapes[0],
         scratch_shapes=[
@@ -154,7 +202,7 @@ def flash_attention_kvmask(q, k, v, k_bias, block_q: int = 128,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(qr, kr, vr, biasr)
+    )(*operands)
     if with_stats:
         out, ml = res
         m = ml[:, :, 0].reshape(b, h, nq)
@@ -258,58 +306,243 @@ def flash_attention_packed(q, k, v, k_bias, num_heads: int,
     )(q, k, v, biasr)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def flash_attention_diff(q, k, v, k_bias, block_q: int = 128,
-                         block_k: int = 1024, interpret: bool = False):
-    """Differentiable wrapper over the Pallas flash kernel.
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, kmask_ref, stats_ref,
+                         do_ref, *rest, sm_scale, dropout_rate):
+    """dQ pass: grid (bh, q-block, kv-block), kv arbitrary. Recomputes
+    the tile's P from the saved (m, l) stats — one exp, no second
+    softmax — and accumulates dQ = sum_k dS @ K * scale in VMEM. Never
+    materializes (Nq, Nk)."""
+    it = iter(rest)
+    seed_ref = next(it) if dropout_rate > 0.0 else None
+    dq_ref, acc_scr = it
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    stats = stats_ref[0]
+    m = stats[:, 0:1]
+    l = jnp.maximum(stats[:, 1:2], 1e-30)
+    delta = stats[:, 2:3]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    s = s + kmask_ref[0, 0][None, :]
+    p = jnp.exp(s - m) / l
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        _seed_tile(seed_ref, pl.program_id(0), pl.program_id(1), kv_idx,
+                   pl.num_programs(1), pl.num_programs(2))
+        dp = dp * _dropout_keep(dp.shape, dropout_rate)
+    ds = p * (dp - delta)
+    acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = (acc_scr[:] * sm_scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, kmask_ref, stats_ref,
+                          do_ref, *rest, sm_scale, dropout_rate):
+    """dK/dV/dk_bias pass: grid (bh, kv-block, q-block), q arbitrary.
+    Per q step: recompute the tile's P, accumulate
+    dV += dropout(P)^T @ dO, dK += dS^T @ Q * scale, dkb += colsum(dS).
+    The dropout keep mask regenerates bit-identically to the forward
+    (same per-tile seed, same (block_q, block_k) decomposition)."""
+    it = iter(rest)
+    seed_ref = next(it) if dropout_rate > 0.0 else None
+    dk_ref, dv_ref, dkb_ref, dk_scr, dv_scr, dkb_scr = it
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+        dkb_scr[:] = jnp.zeros_like(dkb_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    stats = stats_ref[0]
+    m = stats[:, 0:1]
+    l = jnp.maximum(stats[:, 1:2], 1e-30)
+    delta = stats[:, 2:3]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale    # (bq, bk)
+    s = s + kmask_ref[0, 0][None, :]
+    p = jnp.exp(s - m) / l
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        _seed_tile(seed_ref, pl.program_id(0), q_idx, pl.program_id(1),
+                   pl.num_programs(2), pl.num_programs(1))
+        keep = _dropout_keep(p.shape, dropout_rate)
+        pv = p * keep
+        dp = dp * keep
+    else:
+        pv = p
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        pv, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (bk, d)
+    ds = p * (dp - delta)
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (bk, d)
+    dkb_scr[0:1, :] = dkb_scr[0:1, :] + jnp.sum(
+        ds, axis=0, keepdims=True)
+
+    @pl.when(q_idx == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = (dk_scr[:] * sm_scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+        dkb_ref[0] = dkb_scr[:].astype(dkb_ref.dtype)
+
+
+def _flash_backward(q, k, v, k_bias, out, m, l, do, seed, block_q,
+                    block_k, interpret, dropout_rate):
+    """Blocked flash backward (FlashAttention-2 recompute strategy): a dQ
+    kernel parallel over q-blocks and a dK/dV kernel parallel over
+    kv-blocks. O(N) memory — no (Nq, Nk) tensor is ever materialized
+    (the r3 VJP built P in bf16: ~0.8 GB/layer at bench shapes)."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    bh = b * h
+    scale = 1.0 / math.sqrt(d)
+    qr = q.reshape(bh, nq, d)
+    kr = k.reshape(bh, nk, d)
+    vr = v.reshape(bh, nk, d)
+    dor = do.reshape(bh, nq, d)
+    biasr = jnp.broadcast_to(
+        k_bias[:, None, :], (b, h, nk)).reshape(bh, 1, nk).astype(
+            jnp.float32)
+    # per-query stats rows: lane 0 = m, 1 = l, 2 = delta = rowsum(dO*O)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)
+    stats = jnp.stack(
+        [m.reshape(bh, nq), l.reshape(bh, nq), delta.reshape(bh, nq)],
+        axis=-1)
+    stats = jnp.pad(stats, ((0, 0), (0, 0), (0, 125)))
+
+    common_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),   # q
+        pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),   # k
+        pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0)),   # v
+        pl.BlockSpec((1, 1, block_k), lambda b_, i, j: (b_, 0, j)),   # kb
+        pl.BlockSpec((1, block_q, 128), lambda b_, i, j: (b_, i, 0)),
+        pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0)),   # do
+    ]
+    operands = [qr, kr, vr, biasr, stats, dor]
+    if dropout_rate > 0.0:
+        common_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(seed, jnp.int32).reshape(1))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, sm_scale=scale,
+                          dropout_rate=dropout_rate),
+        grid=(bh, nq // block_q, nk // block_k),
+        in_specs=common_specs,
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda b_, i, j: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*operands)
+
+    # dkv grid: (bh, kv-block, q-block) — swap the block index args
+    dkv_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b_, j, i: (b_, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b_, j, i: (b_, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b_, j, i: (b_, j, 0)),
+        pl.BlockSpec((1, 1, block_k), lambda b_, j, i: (b_, 0, j)),
+        pl.BlockSpec((1, block_q, 128), lambda b_, j, i: (b_, i, 0)),
+        pl.BlockSpec((1, block_q, d), lambda b_, j, i: (b_, i, 0)),
+    ]
+    if dropout_rate > 0.0:
+        dkv_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    dk, dv, dkb8 = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, sm_scale=scale,
+                          dropout_rate=dropout_rate),
+        grid=(bh, nk // block_k, nq // block_q),
+        in_specs=dkv_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b_, j, i: (b_, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b_, j, i: (b_, j, 0)),
+            pl.BlockSpec((1, 8, block_k), lambda b_, j, i: (b_, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk, d), v.dtype),
+            jax.ShapeDtypeStruct((bh, 8, nk), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((8, block_k), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*operands)
+    dkb = dkb8[:, 0].reshape(b, h, nk).sum(axis=1).astype(k_bias.dtype)
+    return (dq.reshape(b, h, nq, d), dk.reshape(b, h, nk, d),
+            dv.reshape(b, h, nk, d), dkb)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def flash_attention_diff(q, k, v, k_bias, seed=None, block_q: int = 128,
+                         block_k: int = 1024, interpret: bool = False,
+                         dropout_rate: float = 0.0):
+    """Differentiable flash attention (training path).
 
     pallas_call has no automatic transpose rule, so jax.grad through the
-    raw kernel fails at trace time — which made dropout-free training on
-    TPU (where `attend` routes long-KV cross-attention to flash) a crash.
-    Forward runs the flash kernel (the with_stats variant when taped);
-    backward recomputes P from the saved (m, l) softmax stats — one exp,
-    no second softmax pass — and takes the standard attention gradients
-    as XLA einsums. The backward materializes P (B, H, Nq, Nk) in bf16,
-    the FlashAttention-2 recompute strategy without the blocked dP pass;
-    at the bench shape (8h x 1k x 49k) that is ~0.8 GB of HBM, fine on a
-    16 GB chip (training with DN masks uses the XLA path anyway).
-    """
-    return flash_attention_kvmask(q, k, v, k_bias, block_q=block_q,
-                                  block_k=block_k, interpret=interpret)
+    raw kernel fails at trace time. Forward runs the flash kernel (the
+    with_stats variant when taped, with in-kernel dropout when
+    `dropout_rate > 0` — the reference trains its 900 x ~50k
+    cross-attention inside flash-attn with dropout,
+    models/utils/attention.py:70-92); backward runs the blocked
+    FlashAttention-2-style dQ and dK/dV Pallas kernels (`_flash_backward`)
+    that recompute each P tile from the saved (m, l) stats and regenerate
+    the dropout bits — O(N) memory end to end, nothing (Nq x Nk) is ever
+    materialized. `seed` is an int32 (1,) array (required iff dropout)."""
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    return flash_attention_kvmask(
+        q, k, v, k_bias, block_q=block_q, block_k=block_k,
+        interpret=interpret, dropout_rate=dropout_rate, seed=seed)
 
 
-def _flash_diff_fwd(q, k, v, k_bias, block_q, block_k, interpret):
+def _flash_diff_fwd(q, k, v, k_bias, seed, block_q, block_k, interpret,
+                    dropout_rate):
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     out, m, l = flash_attention_kvmask(
         q, k, v, k_bias, block_q=block_q, block_k=block_k,
-        interpret=interpret, with_stats=True)
-    return out, (q, k, v, k_bias, out, m, l)
+        interpret=interpret, with_stats=True, dropout_rate=dropout_rate,
+        seed=seed)
+    return out, (q, k, v, k_bias, seed, out, m, l)
 
 
-def _flash_diff_bwd(block_q, block_k, interpret, res, do):
-    q, k, v, k_bias, out, m, l = res
-    dh = q.shape[-1]
-    scale = 1.0 / math.sqrt(dh)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                   preferred_element_type=jnp.float32) * scale
-    s = s + k_bias[:, None, None, :].astype(jnp.float32)
-    p = (jnp.exp(s - m[..., None])
-         / jnp.maximum(l, 1e-30)[..., None]).astype(v.dtype)
-    dof = do.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, do,
-                    preferred_element_type=jnp.float32).astype(v.dtype)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", do, v,
-                    preferred_element_type=jnp.float32)
-    delta = jnp.sum(dof * out.astype(jnp.float32), axis=-1,
-                    keepdims=True)                      # (b, h, nq, 1)
-    ds = p.astype(jnp.float32) * (dp - delta)
-    dq = (jnp.einsum("bhqk,bhkd->bhqd", ds.astype(k.dtype), k,
-                     preferred_element_type=jnp.float32)
-          * scale).astype(q.dtype)
-    dk = (jnp.einsum("bhqk,bhqd->bhkd", ds.astype(q.dtype), q,
-                     preferred_element_type=jnp.float32)
-          * scale).astype(k.dtype)
-    dkb = jnp.sum(ds, axis=(1, 2)).astype(k_bias.dtype)
-    return dq, dk, dv, dkb
+def _flash_diff_bwd(block_q, block_k, interpret, dropout_rate, res, do):
+    q, k, v, k_bias, seed, out, m, l = res
+    dq, dk, dv, dkb = _flash_backward(
+        q, k, v, k_bias, out, m, l, do, seed, block_q, block_k,
+        interpret, dropout_rate)
+    dseed = np.zeros(np.shape(seed), jax.dtypes.float0)
+    return dq, dk, dv, dkb, dseed
 
 
 flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
@@ -344,14 +577,14 @@ def attend(q, k, v, bias=None, k_bias=None, impl: str = "auto",
         raise ValueError(
             "attend(impl='flash') cannot apply a 2D attention bias; use "
             "k_bias for KV padding or impl='auto'/'reference' for DN masks")
-    if dropout_rate > 0.0 and impl == "flash":
+    on_tpu = jax.default_backend() == "tpu"
+    if dropout_rate > 0.0 and impl == "flash" and not on_tpu:
         raise ValueError(
-            "attend(impl='flash') does not implement attention-weight "
-            "dropout; training with attn dropout must use the XLA path")
+            "attend(impl='flash') with attention dropout needs the TPU "
+            "backend (the in-kernel PRNG has no interpret lowering)")
     use_flash = (
         impl == "flash"
-        or (impl == "auto" and bias is None and dropout_rate == 0.0
-            and nk >= 4096 and jax.default_backend() == "tpu")
+        or (impl == "auto" and bias is None and nk >= 4096 and on_tpu)
     )
     if use_flash:
         if k_bias is None:
@@ -361,7 +594,16 @@ def attend(q, k, v, bias=None, k_bias=None, impl: str = "auto",
         vp = _pad_to(v, 2, block_k)
         kb = jnp.pad(k_bias, ((0, 0), (0, kp.shape[2] - nk)),
                      constant_values=NEG_INF)
-        out = flash_attention_diff(qp, kp, vp, kb, block_q, block_k)
+        seed = None
+        if dropout_rate > 0.0:
+            assert dropout_rng is not None
+            # in-kernel dropout (train): derive the per-call PRNG seed
+            # from the flax dropout rng — the tile seeds fold this with
+            # the (bh, q-block, kv-block) ids
+            seed = jax.random.randint(
+                dropout_rng, (1,), 0, 2 ** 31 - 1, dtype=jnp.int32)
+        out = flash_attention_diff(qp, kp, vp, kb, seed, block_q, block_k,
+                                   False, float(dropout_rate))
         return out[:, :, :nq]
     if k_bias is not None:
         kb = k_bias[:, None, None, :]

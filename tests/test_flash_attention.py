@@ -53,8 +53,9 @@ def test_forced_flash_rejects_2d_bias():
 
 def test_flash_grad_matches_xla(rng):
     """jax.grad through the flash path (custom VJP: flash forward,
-    stats-recompute XLA backward) matches grads through mha_reference —
-    the dropout-free train-on-TPU code path (r2 VERDICT weak #4)."""
+    blocked FlashAttention-2-style Pallas backward) matches grads through
+    mha_reference — the train-on-TPU code path. Multiple q AND kv blocks
+    so the backward kernels' accumulation-across-blocks is exercised."""
     from cmtcoop_tpu.ops.attention import (
         NEG_INF, flash_attention_diff, mha_reference)
 
@@ -68,7 +69,7 @@ def test_flash_grad_matches_xla(rng):
     tgt = jnp.asarray(rng.normal(size=(b, h, nq, d)).astype(np.float32))
 
     def loss_flash(q_, k_, v_):
-        o = flash_attention_diff(q_, k_, v_, kb, 128, 512, True)
+        o = flash_attention_diff(q_, k_, v_, kb, None, 64, 128, True)
         return jnp.sum((o - tgt) ** 2)
 
     def loss_ref(q_, k_, v_):
@@ -83,6 +84,33 @@ def test_flash_grad_matches_xla(rng):
     # padded keys receive zero gradient
     assert float(jnp.abs(gf[1][:, :, 400:]).max()) < 1e-6
     assert float(jnp.abs(gf[2][:, :, 400:]).max()) < 1e-6
+
+
+def test_flash_kbias_grad_matches_xla(rng):
+    """The blocked backward's dk_bias accumulation (colsum of dS over
+    queries and heads) matches grads through the XLA reference."""
+    from cmtcoop_tpu.ops.attention import (
+        flash_attention_diff, mha_reference)
+
+    b, h, nq, nk, d = 2, 2, 64, 256, 16
+    q = jnp.asarray(rng.normal(size=(b, h, nq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, nk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, nk, d)).astype(np.float32))
+    kb = jnp.asarray(rng.normal(size=(b, nk)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(b, h, nq, d)).astype(np.float32))
+
+    def loss_flash(kb_):
+        o = flash_attention_diff(q, k, v, kb_, None, 64, 128, True)
+        return jnp.sum((o - tgt) ** 2)
+
+    def loss_ref(kb_):
+        o = mha_reference(q, k, v, kb_[:, None, None, :])
+        return jnp.sum((o - tgt) ** 2)
+
+    gf = jax.grad(loss_flash)(kb)
+    gr = jax.grad(loss_ref)(kb)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=3e-4, atol=3e-4)
 
 
 def test_flash_packed_matches_reference(rng):
