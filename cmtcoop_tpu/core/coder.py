@@ -55,7 +55,9 @@ def decode_boxes(
 
     scores_flat = jnp.reshape(
         jax.nn.sigmoid(jnp.asarray(all_logits, jnp.float32)), (-1,))
-    top_scores, top_idx = jax.lax.top_k(scores_flat, max_num)
+    # tiny heads can have fewer than max_num (query, class) candidates
+    top_scores, top_idx = jax.lax.top_k(
+        scores_flat, min(max_num, scores_flat.shape[0]))
     labels = top_idx % total_classes
     query_idx = top_idx // total_classes
     task_idx = class_task_arr[labels]

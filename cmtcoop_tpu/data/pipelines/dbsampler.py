@@ -179,6 +179,11 @@ def unified_object_sample(
         [class_names.index(n) for n in out["gt_names"]], np.int64)
     sample["gt_labels_3d"] = np.concatenate(
         [sample["gt_labels_3d"], new_labels])
+    if "gt_names" in sample:
+        # keep the raw-name list aligned with boxes/labels — the
+        # downstream name filter boolean-indexes boxes by it
+        sample["gt_names"] = list(sample["gt_names"]) + list(
+            out["gt_names"])
 
     obj_points = np.concatenate(out["points_list"])
     if obj_points.shape[1] < 5:

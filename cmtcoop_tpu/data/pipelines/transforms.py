@@ -130,6 +130,9 @@ def object_range_filter(sample: Dict, pc_range) -> Dict:
     boxes[:, 6] = limit_period(boxes[:, 6], 0.5, 2 * np.pi)
     sample["gt_boxes_3d"] = boxes
     sample["gt_labels_3d"] = labels[keep]
+    if "gt_names" in sample:  # keep raw names aligned for the name filter
+        sample["gt_names"] = [
+            n for n, k in zip(sample["gt_names"], keep) if k]
     return sample
 
 
