@@ -193,7 +193,7 @@ def test_create_train_eval_roundtrip(tmp_path):
     work = str(tmp_path / "work")
     evald = str(tmp_path / "eval")
     _build_raw(raw, "train", n_frames=3, seed=0)
-    _build_raw(raw, "val", n_frames=2, seed=1)
+    _build_raw(raw, "val", n_frames=3, seed=1)
 
     # 1. create_data: PCDs (all three encodings) -> bins + infos + gt db
     _run(["tools/create_data.py", "a9coop_nusc", "--root-path", raw,
@@ -222,9 +222,11 @@ def test_create_train_eval_roundtrip(tmp_path):
     assert os.path.isdir(ckpts) and os.listdir(ckpts)
 
     # 3. eval the checkpoint over val through the nusc protocol
+    # --batch-size 2 over 3 val frames: one full batch + one tail batch
+    # padded by repeating the last sample (single compiled shape)
     _run(["tools/test.py", "cmt_fusion_coop_tumtraf", ckpts,
           "--data-root", data, "--split", "val", "--eval", "bbox",
-          "--work-dir", evald, "--dtype", "float32",
+          "--work-dir", evald, "--dtype", "float32", "--batch-size", "2",
           "--cfg-options"] + CFG)
     with open(os.path.join(evald, "metrics_summary.json")) as f:
         summary = json.load(f)

@@ -30,6 +30,9 @@ def parse_args():
                          "metrics_details.json here (reference eval "
                          "artifacts, a9coop_dataset.py:293-337, 918-940)")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="eval batch size (tail batch is padded by "
+                         "repeating the last sample; one compiled shape)")
     ap.add_argument("--max-samples", type=int, default=None)
     ap.add_argument("--cfg-options", nargs="*", default=None,
                     help="preset field overrides, key=value")
@@ -86,16 +89,24 @@ def main():
 
     preds = {}
     n = 0
-    for i in range(len(ds)):
-        batch = formats.collate([ds[i]])
+    bs = max(1, args.batch_size)
+    total = len(ds)
+    if args.max_samples:
+        total = min(total, args.max_samples)
+    for start in range(0, total, bs):
+        idxs = list(range(start, min(start + bs, total)))
+        # pad the tail batch to the compiled batch size (extra rows are
+        # real forward work but their predictions are discarded below)
+        padded = idxs + [idxs[-1]] * (bs - len(idxs))
+        batch = formats.collate([ds[i] for i in padded])
         logits, codes = forward(variables, batch)
-        dec = decode_boxes([l[0] for l in logits], [c[0] for c in codes])
-        ts = ds.infos[i]["timestamp"]
-        preds[ts] = formats.decoded_to_eval_boxes(
-            dec, preset.class_names, ts)
-        n += 1
-        if args.max_samples and n >= args.max_samples:
-            break
+        for b, i in enumerate(idxs):
+            dec = decode_boxes([l[b] for l in logits],
+                               [c[b] for c in codes])
+            ts = ds.infos[i]["timestamp"]
+            preds[ts] = formats.decoded_to_eval_boxes(
+                dec, preset.class_names, ts)
+            n += 1
 
     if args.out:
         with open(args.out, "w") as f:
