@@ -19,6 +19,12 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--device-loop", action="store_true",
+                    help="measure per-frame device latency via a "
+                         "carry-forced on-device fori_loop (one host "
+                         "fetch at the end; excludes the axon relay's "
+                         "~30 ms per-dispatch fetch overhead — same "
+                         "protocol as the root bench.py)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +52,45 @@ def main():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     from cmtcoop_tpu.models.pillar_encoder import prepare_variables
     variables = prepare_variables(model, variables)
+
+    if args.device_loop:
+        import time
+
+        @jax.jit
+        def fwd_sum(variables, batch):
+            (task_outs, _), _ = model.apply(
+                variables, batch, mutable=["batch_stats"])
+            return sum(jnp.sum(v.astype(jnp.float32))
+                       for t in task_outs for v in t.values())
+
+        # carry-forced frame chain: each frame's inputs depend on the
+        # previous frame's output, so frames cannot overlap — per-frame
+        # latency with ONE host fetch (protocol identical to bench.py)
+        @jax.jit
+        def forward_n(variables, batch, n):
+            def body(i, c):
+                b = {k: v + (c * 1e-30).astype(v.dtype)
+                     if jnp.issubdtype(v.dtype, jnp.floating) else v
+                     for k, v in batch.items()}
+                return c + fwd_sum(variables, b)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        float(forward_n(variables, batch, 1))          # compile
+        tiny = jax.jit(lambda x: x * 1.0)
+        xs = jnp.ones((8, 128))
+        float(jnp.sum(tiny(xs)))
+        t0 = time.time()
+        for _ in range(10):
+            float(jnp.sum(tiny(xs)))
+        fetch = (time.time() - t0) / 10
+        for _ in range(args.warmup):
+            float(forward_n(variables, batch, 1))
+        t0 = time.time()
+        float(forward_n(variables, batch, args.iters))
+        dt = (time.time() - t0 - fetch) / args.iters
+        print(f"{preset.name}: {dt * 1e3:.1f} ms/frame device latency")
+        print(f"FPS: {1.0 / dt:.2f}")
+        return
 
     @jax.jit
     def forward(variables, batch):
