@@ -125,9 +125,10 @@ def main():
     jax.block_until_ready(variables)
     print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
-    if use_lidar:
+    if use_lidar and os.environ.get("CMTCOOP_PREPARE", "1") != "0":
         # hoist frame-invariant pillar band matrices out of the jitted
-        # forward (models/pillar_encoder.py::prepare_variables)
+        # forward (models/pillar_encoder.py::prepare_variables);
+        # CMTCOOP_PREPARE=0 A/Bs the in-jit band build
         from cmtcoop_tpu.models.pillar_encoder import prepare_variables
         t0 = time.time()
         variables = prepare_variables(model, variables)
