@@ -135,6 +135,10 @@ def main():
         jax.block_until_ready(variables.get("prepared", ()))
         print(f"# prepare: {time.time() - t0:.1f}s",
               file=sys.stderr, flush=True)
+    else:
+        # echo the A/B state so saved bench outputs are attributable
+        print("# prepare: skipped (CMTCOOP_PREPARE=0 or no lidar — "
+              "in-jit band build)", file=sys.stderr, flush=True)
 
     @jax.jit
     def forward(variables, batch):
