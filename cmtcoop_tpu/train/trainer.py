@@ -130,9 +130,15 @@ class Trainer:
             if (eval_hook is not None and eval_interval_steps and
                     step_idx % eval_interval_steps == 0):
                 results = eval_hook(self.state, step_idx)
-                log.info("eval @%d: %s", step_idx, results)
+                log.info("eval @%d: map=%s nds=%s", step_idx,
+                         results.get("object/map"),
+                         results.get("object/nds"))
+                num = {k: v for k, v in results.items()
+                       if isinstance(v, (int, float))}
+                self._metrics_file.write(json.dumps(
+                    {"step": step_idx, "eval": num}) + "\n")
+                self._metrics_file.flush()
                 self._tb.add_scalars(
-                    step_idx, {f"val/{k}": v for k, v in results.items()
-                               if isinstance(v, (int, float))})
+                    step_idx, {f"val/{k}": v for k, v in num.items()})
                 self._tb.flush()
         return self.state

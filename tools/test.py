@@ -47,8 +47,6 @@ def main():
         jax.config.update("jax_platforms", os.environ["CMTCOOP_PLATFORM"])
     import jax.numpy as jnp
     from cmtcoop_tpu.configs.presets import get_preset
-    from cmtcoop_tpu.core.coder import decode_boxes
-    from cmtcoop_tpu.data import formats
     from cmtcoop_tpu.data.loader import build_test_loader
     from cmtcoop_tpu.models.build import build_detector
 
@@ -77,36 +75,12 @@ def main():
     from cmtcoop_tpu.models.pillar_encoder import prepare_variables
     variables = prepare_variables(model, variables)
 
-    @jax.jit
-    def forward(variables, batch):
-        (task_outs, _), _ = model.apply(
-            variables, batch, mutable=["batch_stats"])
-        logits = [t["cls_logits"][-1] for t in task_outs]
-        codes = [jnp.concatenate(
-            [t["center"][-1], t["height"][-1], t["dim"][-1], t["rot"][-1],
-             t["vel"][-1]], axis=-1) for t in task_outs]
-        return logits, codes
-
-    preds = {}
-    n = 0
-    bs = max(1, args.batch_size)
-    total = len(ds)
-    if args.max_samples:
-        total = min(total, args.max_samples)
-    for start in range(0, total, bs):
-        idxs = list(range(start, min(start + bs, total)))
-        # pad the tail batch to the compiled batch size (extra rows are
-        # real forward work but their predictions are discarded below)
-        padded = idxs + [idxs[-1]] * (bs - len(idxs))
-        batch = formats.collate([ds[i] for i in padded])
-        logits, codes = forward(variables, batch)
-        for b, i in enumerate(idxs):
-            dec = decode_boxes([l[b] for l in logits],
-                               [c[b] for c in codes])
-            ts = ds.infos[i]["timestamp"]
-            preds[ts] = formats.decoded_to_eval_boxes(
-                dec, preset.class_names, ts)
-            n += 1
+    # shared with the mid-training EvalHook (train/eval_hook.py)
+    from cmtcoop_tpu.train.eval_hook import run_eval
+    summary, preds = run_eval(
+        model, variables, ds, preset, batch_size=args.batch_size,
+        max_samples=args.max_samples,
+        work_dir=args.work_dir if "bbox" in args.eval else None)
 
     if args.out:
         with open(args.out, "w") as f:
@@ -118,7 +92,6 @@ def main():
             meta={"use_lidar": preset.use_lidar,
                   "use_camera": preset.use_camera})
     if "bbox" in args.eval:
-        summary = ds.evaluate(preds, output_dir=args.work_dir)
         print(json.dumps(summary["detail"], indent=2))
         print(f"mAP: {summary['mean_ap']:.4f}  NDS: "
               f"{summary['nd_score']:.4f}")

@@ -39,6 +39,14 @@ def parse_args():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--num-workers", type=int, default=6)
+    ap.add_argument("--eval-interval", type=int, default=0,
+                    help="run val eval every N EPOCHS during training "
+                         "(reference EvalHook interval=1; 0 = off)")
+    ap.add_argument("--eval-interval-steps", type=int, default=None,
+                    help="eval every N steps (overrides --eval-interval)")
+    ap.add_argument("--eval-split", default="val")
+    ap.add_argument("--eval-batch-size", type=int, default=1)
+    ap.add_argument("--eval-max-samples", type=int, default=None)
     ap.add_argument("--cfg-options", nargs="*", default=None,
                     help="preset field overrides, key=value")
     ap.add_argument("--multihost", action="store_true",
@@ -131,7 +139,23 @@ def main():
             yield from rest
         batches = chain()
 
-    trainer.run(batches)
+    eval_hook = None
+    eval_interval_steps = args.eval_interval_steps
+    if (args.eval_interval or eval_interval_steps) and not args.synthetic:
+        from cmtcoop_tpu.train.eval_hook import make_eval_hook
+        if eval_interval_steps is None:
+            eval_interval_steps = max(
+                steps_per_epoch * args.eval_interval, 1)
+        eval_hook = make_eval_hook(
+            preset, args.data_root, split=args.eval_split, dtype=dtype,
+            batch_size=args.eval_batch_size,
+            max_samples=args.eval_max_samples)
+    elif args.eval_interval or eval_interval_steps:
+        logging.warning("--eval-interval ignored in --synthetic mode")
+        eval_interval_steps = None
+
+    trainer.run(batches, eval_hook=eval_hook,
+                eval_interval_steps=eval_interval_steps)
     logging.info("training done: %d steps", int(trainer.state.step))
 
 
