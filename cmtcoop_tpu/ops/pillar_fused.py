@@ -197,7 +197,8 @@ def build_band(weights: jnp.ndarray, scale: Optional[jnp.ndarray], *,
 
 def _fused_kernel(starts_ref, nbrl_ref, blkact_ref, *rest, win, bp, kb,
                   zoco, has_bias, has_resid, has_occ, relu,
-                  tiles=None, cin=None, cout=None, emit_occ=False):
+                  tiles=None, cin=None, cout=None, emit_occ=False,
+                  lead=False):
     it = iter(rest)
     occ_ref = next(it) if has_occ else None
     resid_ref = next(it) if has_resid else None
@@ -245,20 +246,26 @@ def _fused_kernel(starts_ref, nbrl_ref, blkact_ref, *rest, win, bp, kb,
             gs.append(jax.lax.dot_general(
                 oh, window, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(window.dtype))
-        acc = _band_contract(gs, band_ref, bp, kb, zoco, tiles, cin, cout)
+        acc = _band_contract(gs, band_ref, bp, kb, zoco, tiles, cin, cout,
+                             lead=lead)
         _epilogue(acc, bias_ref, resid_ref, occ_ref, e_ref, relu,
                   has_bias, has_resid, has_occ, o_ref, emit_occ=emit_occ)
 
 
-def _band_contract(gs, band_ref, bp, kb, zoco, tiles, cin, cout):
+def _band_contract(gs, band_ref, bp, kb, zoco, tiles, cin, cout,
+                   lead=False):
     """Shared band contraction: gs[j] (bp, ZCP) gathered tap rows.
-    band_ref carries a leading per-agent block dim of 1 (the BlockSpec
-    selects the agent's band via block_index // nb)."""
+    With `lead` (agent-batched launch) band_ref carries a leading
+    per-agent block dim of 1 (the BlockSpec selects the agent's band via
+    block_index // nb); unbatched bands have NO lead dim — the r4
+    always-lead layout cost ~6 ms/frame on the flagship bench (rank-4/5
+    VMEM refs index worse through Mosaic)."""
     if tiles is None:
         acc = jnp.zeros((bp, zoco), jnp.float32)
         for j in range(kb):
             acc = acc + jax.lax.dot_general(
-                gs[j], band_ref[0, j], (((1,), (0,)), ((), ())),
+                gs[j], band_ref[0, j] if lead else band_ref[j],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         return acc
     t, tin, tstarts = tiles
@@ -268,7 +275,8 @@ def _band_contract(gs, band_ref, bp, kb, zoco, tiles, cin, cout):
         lo = s0 * cin
         for j in range(kb):
             a = a + jax.lax.dot_general(
-                gs[j][:, lo:lo + tin * cin], band_ref[0, j, ti],
+                gs[j][:, lo:lo + tin * cin],
+                band_ref[0, j, ti] if lead else band_ref[j, ti],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         cols.append(a)
@@ -320,7 +328,7 @@ PADG = 8  # guard rows inside the mid scratch buffer so the subm shift
 def _fused_kernel_v2(starts_ref, nbrl_ref, blkact_ref, *rest, win_d,
                      win_mid, bp, zoco, subm, has_bias, has_resid,
                      has_occ, relu, tiles, cin, cout, fold_occ=None,
-                     zwin=None, emit_occ=False):
+                     zwin=None, emit_occ=False, lead=False):
     """3x3-BEV conv with per-dy-row windows: the 9 taps split into three
     dy groups whose neighbors each span a SHORT contiguous run of the
     sorted pillar order (measured p99 ~160 rows/group vs ~512 combined), so
@@ -430,13 +438,13 @@ def _fused_kernel_v2(starts_ref, nbrl_ref, blkact_ref, *rest, win_d,
             win_mid=win_mid, bp=bp, zoco=zoco, subm=subm,
             has_bias=has_bias, has_resid=has_resid, has_occ=has_occ,
             relu=relu, tiles=tiles, cin=cin, cout=cout, fold_occ=fold_occ,
-            zwin=zwin, dmas=dmas, emit_occ=emit_occ)
+            zwin=zwin, dmas=dmas, emit_occ=emit_occ, lead=lead)
 
 
 def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
                       bp, zoco, subm, has_bias, has_resid, has_occ, relu,
                       tiles, cin, cout, fold_occ, zwin, dmas,
-                      emit_occ=False):
+                      emit_occ=False, lead=False):
     (zoff_ref, mask_ref, occ_ref, resid_ref, bias_ref, e_ref, s_ref,
      rows_hbm, band_ref, o_ref, occ_o_ref, buf_lo, buf_mid, buf_hi,
      kbuf, fullbuf, sem) = refs
@@ -448,10 +456,11 @@ def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
     w_hi = buf_hi[blk % 2]
     if subm:
         # own-block rows sit at guard offset PADG plus the clamp slack
-        # (starts are clamped; starts column 3 carries the block's own
-        # absolute row start — = blk*bp only when rows are unpadded and
-        # single-agent, so it travels explicitly)
-        mid0 = starts_ref[blk, 3] - starts_ref[blk, 1] + PADG
+        # (starts are clamped). Unbatched the block's own absolute row
+        # start is statically blk*bp; batched it travels as starts
+        # column 3 (per-agent segment offsets)
+        own = starts_ref[blk, 3] if lead else blk * bp
+        mid0 = own - starts_ref[blk, 1] + PADG
 
     # M-stacked one-hot gathers: the 3 taps of a dy group share one
     # window, so their one-hots stack along M into ONE (3*bp, win) @
@@ -495,7 +504,7 @@ def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
         acc = sum(g[:, :zoco_c].astype(jnp.float32) for g in gs)
     elif tiles is None or not KPACK:
         acc = _band_contract(gs, band_ref, bp, 9, zoco_c, tiles, cin,
-                             cout)
+                             cout, lead=lead)
     elif True:
         # K-packed tiled band: the 9 taps' tile slices are stored
         # contiguously in K and contracted in ONE (bp, 9*Tin*Cin) matmul
@@ -517,7 +526,8 @@ def _fused_v2_compute(starts_ref, nbrl_ref, refs, *, blk, win_d, win_mid,
             for j in range(9):
                 kbuf[:, j * tcp:(j + 1) * tcp] = gs[j][:, lo:lo + tcp]
             cols.append(jax.lax.dot_general(
-                kbuf[...], band_ref[0, ti], (((1,), (0,)), ((), ())),
+                kbuf[...], band_ref[0, ti] if lead else band_ref[ti],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
         acc = jnp.concatenate(cols, axis=1)[:, :zoco_c]
     if zwin:
@@ -654,7 +664,8 @@ def fused_pillar_conv(
         occ_out = None if occ_out is None else occ_out[None]
         residual = None if residual is None else residual[None]
         occ_in = None if occ_in is None else occ_in[None]
-        band = None if band is None else band[None]
+        # band keeps NO lead dim unbatched (the in-kernel refs index it
+        # directly; see _band_contract's lead note)
 
     if packed_shape is not None:
         z_in, cin = packed_shape
@@ -802,21 +813,28 @@ def fused_pillar_conv(
             rows = jnp.pad(rows, ((0, 0), (0, need - rows.shape[1]),
                                   (0, 0)))
         prow = rows.shape[1]
-        # per-block agent segment offset into the flat (A*prow) rows, and
-        # each block's own absolute row start (subm mid window)
-        seg = (jnp.arange(nbt, dtype=jnp.int32) // nb) * prow
-        own = seg + (jnp.arange(nbt, dtype=jnp.int32) % nb) * bp
+        if batched:
+            # per-block agent segment offset into the flat (A*prow) rows,
+            # and each block's own absolute row start (subm mid window)
+            seg = (jnp.arange(nbt, dtype=jnp.int32) // nb) * prow
+            own = seg + (jnp.arange(nbt, dtype=jnp.int32) % nb) * bp
 
         def group(taps, wind):
             vals = nblk[:, :, taps]                      # (nbt, bp, 3)
             gvalid = vals < p_in                         # per-agent ids
-            vabs = vals + seg[:, None, None]             # flat row ids
-            gmin = jnp.min(
-                jnp.where(gvalid, vabs, seg[:, None, None] + p_in),
-                axis=(1, 2))
-            gstart = (jnp.clip(gmin, seg, seg + prow - wind)
-                      // 8 * 8).astype(jnp.int32)
-            loc = vabs - gstart[:, None, None]
+            if batched:
+                vabs = vals + seg[:, None, None]         # flat row ids
+                gmin = jnp.min(
+                    jnp.where(gvalid, vabs, seg[:, None, None] + p_in),
+                    axis=(1, 2))
+                gstart = (jnp.clip(gmin, seg, seg + prow - wind)
+                          // 8 * 8).astype(jnp.int32)
+                loc = vabs - gstart[:, None, None]
+            else:
+                gmin = jnp.min(jnp.where(gvalid, vals, p_in), axis=(1, 2))
+                gstart = (jnp.clip(gmin, 0, prow - wind)
+                          // 8 * 8).astype(jnp.int32)
+                loc = vals - gstart[:, None, None]
             inw = gvalid & (loc >= 0) & (loc < wind)
             # dead blocks never execute: their taps can't overflow
             ovf = jnp.any((gvalid & ~inw) & blk_act[:, None, None])
@@ -828,10 +846,15 @@ def fused_pillar_conv(
             s2, loc2, ovf2 = group([6, 7, 8], wind)
             if subm:
                 overflow = ovf0 | ovf2 | struct_bad
-                # own-rows mid window, clamped within the agent segment;
-                # the kernel re-derives the block's offset (own - s1)
-                # against its guard rows
-                s1 = jnp.clip(own - PADG, seg, seg + prow - win_mid)
+                # own-rows mid window, clamped (within the agent segment
+                # when batched); the kernel re-derives the block's offset
+                # (own - s1) against its guard rows
+                if batched:
+                    s1 = jnp.clip(own - PADG, seg, seg + prow - win_mid)
+                else:
+                    s1 = jnp.clip(
+                        jnp.arange(nb, dtype=jnp.int32) * bp - PADG,
+                        0, prow - win_mid)
                 local = jnp.concatenate(
                     [loc0, loc2], axis=2).reshape(nbt * bp, 6)
             else:
@@ -839,7 +862,11 @@ def fused_pillar_conv(
                 overflow = ovf0 | ovf1 | ovf2
                 local = jnp.concatenate(
                     [loc0, loc1, loc2], axis=2).reshape(nbt * bp, 9)
-            return jnp.stack([s0, s1, s2, own], axis=1), local, overflow
+            # batched: column 3 carries each block's own absolute row
+            # start (the kernel cannot derive it statically across agent
+            # segments); unbatched keeps the original 3-column layout
+            cols = [s0, s1, s2] + ([own] if batched else [])
+            return jnp.stack(cols, axis=1), local, overflow
 
         if subm:
             gidx = jnp.tile(jnp.arange(p_out, dtype=jnp.int32), a_n)
@@ -921,15 +948,21 @@ def fused_pillar_conv(
         if p_in < win:
             rows = jnp.pad(rows, ((0, 0), (0, win - p_in), (0, 0)))
         prow = rows.shape[1]
-        seg = (jnp.arange(nbt, dtype=jnp.int32) // nb) * prow
         valid = nblk < p_in
-        vabs = nblk + seg[:, None, None]
-        start = jnp.min(
-            jnp.where(valid, vabs, seg[:, None, None] + p_in),
-            axis=(1, 2))
-        start = (jnp.clip(start, seg, seg + max(prow - win, 0))
-                 // 8 * 8).astype(jnp.int32)
-        local = vabs - start[:, None, None]
+        if batched:
+            seg = (jnp.arange(nbt, dtype=jnp.int32) // nb) * prow
+            vabs = nblk + seg[:, None, None]
+            start = jnp.min(
+                jnp.where(valid, vabs, seg[:, None, None] + p_in),
+                axis=(1, 2))
+            start = (jnp.clip(start, seg, seg + max(prow - win, 0))
+                     // 8 * 8).astype(jnp.int32)
+            local = vabs - start[:, None, None]
+        else:
+            start = jnp.min(jnp.where(valid, nblk, p_in), axis=(1, 2))
+            start = (jnp.clip(start, 0, max(prow - win, 0))
+                     // 8 * 8).astype(jnp.int32)
+            local = nblk - start[:, None, None]
         in_win = (local >= 0) & (local < win)
         overflow = jnp.any((valid & ~in_win) & blk_act[:, None, None])
         local = jnp.where(valid & in_win, local, win).astype(jnp.int32)
@@ -947,8 +980,12 @@ def fused_pillar_conv(
             build_band, z_in=z_in, cin=cin, cout=cout, kz=kz,
             z_stride=z_stride, z_pad=z_pad, zwin=zwin, tiles=tiles,
             zcp=zcp, dtype=feats.dtype)
-        band = (jax.vmap(lambda w_: bb(w_, None))(weights)
-                if scale is None else jax.vmap(bb)(weights, scale))
+        if batched:
+            band = (jax.vmap(lambda w_: bb(w_, None))(weights)
+                    if scale is None else jax.vmap(bb)(weights, scale))
+        else:
+            band = bb(weights[0],
+                      None if scale is None else scale[0])
     else:
         band = band.astype(feats.dtype)
 
@@ -1042,7 +1079,7 @@ def fused_pillar_conv(
                 zoco=zoco, subm=subm, has_bias=has_bias,
                 has_resid=has_resid, has_occ=has_occ, relu=relu,
                 tiles=tiles, cin=cin, cout=cout, fold_occ=fold,
-                zwin=zwin, emit_occ=emit_occ_lanes)
+                zwin=zwin, emit_occ=emit_occ_lanes, lead=batched)
             zcp_k = zwin * cin if zwin else zcp
             scratch = [
                 pltpu.VMEM((2, wind, zcp_k), feats.dtype),
@@ -1062,7 +1099,7 @@ def fused_pillar_conv(
                 _fused_kernel, win=wind, bp=bp, kb=kb, zoco=zoco,
                 has_bias=has_bias, has_resid=has_resid, has_occ=has_occ,
                 relu=relu, tiles=tiles, cin=cin, cout=cout,
-                emit_occ=emit_occ_lanes)
+                emit_occ=emit_occ_lanes, lead=batched)
             scratch = [
                 pltpu.VMEM((2, wind, zcp), feats.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
