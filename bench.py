@@ -71,10 +71,12 @@ def main():
     if not use_lidar:
         batch = {k: v for k, v in batch.items() if "points" not in k}
 
-    if use_lidar:
+    if use_lidar and os.environ.get("CMTCOOP_SKIP_CAPSTATS", "0") != "1":
         # pillar-cap telemetry: the headline FPS is only honest if the
         # caps do not truncate the bench clouds (round-2 VERDICT weak #3:
-        # the old synthetic generator silently overflowed them)
+        # the old synthetic generator silently overflowed them).
+        # CMTCOOP_SKIP_CAPSTATS=1 skips the extra compile during
+        # same-inputs A/B iteration (the driver never sets it)
         from cmtcoop_tpu.ops import pillars as pu
         from cmtcoop_tpu.ops.pillars import pillarize
 

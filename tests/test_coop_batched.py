@@ -45,6 +45,7 @@ def batch(rng):
     }
 
 
+@pytest.mark.slow
 def test_coop_batched_matches_per_agent(batch):
     m_ref = _model(batched=False)
     m_bat = _model(batched=True)
@@ -58,6 +59,7 @@ def test_coop_batched_matches_per_agent(batch):
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_coop_batched_with_prepared_bands(batch):
     """The batched path must pick up load-time-prepared band matrices
     (stacked per agent) without changing results."""

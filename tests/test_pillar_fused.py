@@ -447,6 +447,7 @@ def test_agent_batched_subm_matches_per_agent(rng):
     _check(got[1], refs[1])
 
 
+@pytest.mark.slow
 def test_agent_batched_down_fold_occ(rng):
     """agents=2 strided down conv with in-kernel occupancy fold."""
     z, c, zcp = 8, 4, 128
@@ -471,6 +472,7 @@ def test_agent_batched_down_fold_occ(rng):
                                       np.asarray(refs[i][1]))
 
 
+@pytest.mark.slow
 def test_agent_batched_kb1_conv_out(rng):
     """agents=2 conv_out-style kernel (kb=1, z-stride 2, BEV identity)."""
     z, c, co, zcp = 8, 16, 8, 128
@@ -497,6 +499,7 @@ def test_agent_batched_kb1_conv_out(rng):
     _check(got[1], refs[1])
 
 
+@pytest.mark.slow
 def test_agent_batched_zwin_subm(rng):
     """agents=2 subm conv at z-window-eligible dims (z=16, c=16)."""
     z, c, zcp = 16, 16, 256

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cmtcoop_tpu.configs.presets import get_preset
 from cmtcoop_tpu.models.detector import CmtDetector
@@ -27,6 +28,7 @@ def test_r50_preset_exists_and_builds():
     assert ek["img_out_features"] == ("layer3", "layer4")
 
 
+@pytest.mark.slow
 def test_r50_camera_forward(rng):
     """Tiny r18 camera-only detector end to end (same code path as r50)."""
     model = CmtDetector(

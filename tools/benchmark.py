@@ -25,6 +25,10 @@ def main():
                          "fetch at the end; excludes the axon relay's "
                          "~30 ms per-dispatch fetch overhead — same "
                          "protocol as the root bench.py)")
+    ap.add_argument("--record", default=None, metavar="JSON",
+                    help="append {preset: {ms, fps, protocol, date}} to "
+                         "this JSON file (tools/report_perf.py "
+                         "regenerates the PERF.md tables from it)")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +94,8 @@ def main():
         dt = (time.time() - t0 - fetch) / args.iters
         print(f"{preset.name}: {dt * 1e3:.1f} ms/frame device latency")
         print(f"FPS: {1.0 / dt:.2f}")
+        if args.record:
+            _record(args.record, preset.name, dt, "device-loop")
         return
 
     @jax.jit
@@ -100,6 +106,27 @@ def main():
     stats = time_fn(forward, variables, batch, warmup=args.warmup,
                     iters=args.iters, name=preset.name)
     print(f"FPS: {stats['fps']:.2f}")
+    if args.record:
+        _record(args.record, preset.name, stats["per_iter_s"],
+                "per-dispatch")
+
+
+def _record(path, name, dt, protocol):
+    import datetime
+    import json
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data[name] = {
+        "ms": round(dt * 1e3, 1),
+        "fps": round(1.0 / dt, 2),
+        "protocol": protocol,
+        "date": datetime.date.today().isoformat(),
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    print(f"recorded -> {path}")
 
 
 if __name__ == "__main__":

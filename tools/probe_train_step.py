@@ -65,7 +65,9 @@ def main():
     t0 = time.time()
     lowered = jax.jit(step).lower(state, batch)
     compiled = lowered.compile()
-    log(f"  compile: {time.time() - t0:.1f}s")
+    compile_s = time.time() - t0
+    log(f"  compile: {compile_s:.1f}s")
+    peak_gb = None
     try:
         ma = compiled.memory_analysis()
         gb = 1024 ** 3
@@ -75,6 +77,7 @@ def main():
             f"peak(args+temp) "
             f"{(ma.argument_size_in_bytes + ma.temp_size_in_bytes) / gb:.2f}"
             f" GB (chip HBM: 16 GB)")
+        peak_gb = (ma.argument_size_in_bytes + ma.temp_size_in_bytes) / gb
     except Exception as e:  # relay may not expose it
         log(f"  memory analysis unavailable: {e}")
 
@@ -94,14 +97,48 @@ def main():
     log(f"  steady train step: {min(times) * 1e3:.1f} ms (min of 4; "
         f"per-dispatch incl. relay) loss={loss:.3f} "
         f"grad_norm={float(metrics['grad_norm']):.3f}")
+    tflops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and ca.get("flops"):
+            tflops = ca["flops"] / min(times) / 1e12
+            log(f"  achieved {tflops:.1f} TFLOP/s "
+                f"(XLA cost-analysis flops / step time; v5e bf16 peak "
+                f"197)")
+    except Exception as e:
+        log(f"  cost_analysis unavailable: {e}")
     try:
         stats = jax.local_devices()[0].memory_stats()
         if stats:
             log(f"  device memory_stats: peak "
                 f"{stats.get('peak_bytes_in_use', 0) / 1024**3:.2f} GB / "
                 f"limit {stats.get('bytes_limit', 0) / 1024**3:.2f} GB")
+            if stats.get("peak_bytes_in_use"):
+                peak_gb = stats["peak_bytes_in_use"] / 1024 ** 3
     except Exception as e:
         log(f"  memory_stats unavailable: {e}")
+
+    # machine-readable record for tools/report_perf.py
+    import datetime
+    import json
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "runs", "train_step.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data["coop_fusion_b1_dn_remat_bf16"] = {
+        "step_ms": round(min(times) * 1e3, 1),
+        "peak_hbm_gb": None if peak_gb is None else round(peak_gb, 2),
+        "compile_s": round(compile_s, 1),
+        "loss": round(loss, 3),
+        "tflops": None if tflops is None else round(tflops, 1),
+        "date": datetime.date.today().isoformat(),
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    log(f"  recorded -> {path}")
 
 
 if __name__ == "__main__":
