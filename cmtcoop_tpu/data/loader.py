@@ -1,11 +1,22 @@
 """Prefetching data loader (workers_per_gpu=6 DataLoader equivalent).
 
-Thread-pool workers run the numpy pipeline; a bounded queue keeps batches
-ready so the TPU step never waits on the host (SURVEY §7.3 #7). Threads (not
-processes) suffice because the heavy per-sample work — point decode, image
-resize, GT paste geometry — runs in numpy/PIL which release the GIL; the
-native C++ decode path (cmtcoop_tpu.data.native) removes the remaining
-Python overhead.
+Worker pools run the numpy pipeline; a bounded queue keeps batches ready
+so the TPU step never waits on the host (SURVEY §7.3 #7). Two worker
+modes:
+
+- threads (default): the heavy per-sample work — point decode, image
+  resize, GT paste geometry — runs in numpy/PIL which release the GIL;
+  the native C++ decode path (cmtcoop_tpu.data.native) removes most
+  remaining Python overhead.
+- processes (`use_processes=True`, torch DataLoader worker equivalent):
+  fork-based pool for pipelines where residual Python time would
+  serialize threads. Measured host cost is ~0.5 s CPU/sample at flagship
+  shapes (tools/probe_loader.py), so a multi-core host needs ~5 workers
+  to outrun the 9.5 FPS eval rate — if thread scaling on a given host
+  falls short of cores (GIL), switch this on. Determinism is preserved:
+  sample content is a pure function of (epoch, index) (per-index
+  SplitMix64 rng, data/datasets.py), so worker assignment cannot change
+  the stream.
 """
 from __future__ import annotations
 
@@ -19,6 +30,14 @@ from cmtcoop_tpu.data.datasets import (A9NuscCoopDataset, A9NuscDataset,
                                        cbgs_indices)
 from cmtcoop_tpu.data.pipeline_builder import build_pipeline
 from cmtcoop_tpu.data.pipelines.dbsampler import DataBaseSampler
+
+
+_FORK_LOADER = None  # (loader, epoch_indices) snapshot for fork workers
+
+
+def _fork_make_batch(b: int):
+    loader, indices = _FORK_LOADER
+    return loader._make_batch(indices, b)
 
 
 class PrefetchLoader:
@@ -35,7 +54,8 @@ class PrefetchLoader:
     def __init__(self, dataset, indices: np.ndarray, batch_size: int,
                  num_workers: int = 6, prefetch: int = 4,
                  shuffle_seed: Optional[int] = None,
-                 process_id: int = 0, num_processes: int = 1):
+                 process_id: int = 0, num_processes: int = 1,
+                 use_processes: bool = False):
         """`batch_size` is GLOBAL. With num_processes > 1 (multi-host,
         DistributedSampler equivalent) each process yields its own
         batch_size/num_processes slice of every global batch, so the
@@ -49,6 +69,7 @@ class PrefetchLoader:
         self.shuffle_seed = shuffle_seed
         self.process_id = process_id
         self.num_processes = num_processes
+        self.use_processes = use_processes
 
     def __len__(self):
         return len(self.indices) // self.batch_size
@@ -69,14 +90,38 @@ class PrefetchLoader:
     def iter_epoch(self, epoch: int = 0,
                    start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
 
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
         indices = self.epoch_indices(epoch)
         n_batches = len(self)
+        if self.use_processes:
+            # fork AFTER set_epoch so workers inherit the epoch-keyed
+            # dataset state through the fork snapshot (a bound-method
+            # task would PICKLE the dataset per task — closures in the
+            # pipeline don't pickle, and the copy would defeat fork
+            # sharing); only the batch index crosses the pipe inbound
+            import multiprocessing as mp
+            global _FORK_LOADER
+            _FORK_LOADER = (self, indices)
+            ctx = mp.get_context("fork")
+            try:
+                with ctx.Pool(self.num_workers) as pool:
+                    futures: "deque" = deque()
+                    b = start_batch
+                    inflight = self.prefetch + self.num_workers
+                    while b < n_batches or futures:
+                        while b < n_batches and len(futures) < inflight:
+                            futures.append(pool.apply_async(
+                                _fork_make_batch, (b,)))
+                            b += 1
+                        yield futures.popleft().get()
+            finally:
+                _FORK_LOADER = None
+            return
+        from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(self.num_workers) as ex:
-            futures: "deque" = deque()
+            futures = deque()
             b = start_batch
             inflight = self.prefetch + self.num_workers
             while b < n_batches or futures:

@@ -135,6 +135,18 @@ def test_loader_epoch_reshuffle_and_mid_epoch_resume():
     assert {e for _, e in full[12:]} == {1}
 
 
+def test_loader_process_workers_match_threads():
+    """Fork-pool workers (use_processes) must yield the byte-identical
+    stream: batch content is a pure function of (epoch, index)."""
+    ds = _StubDataset(12)
+    kw = dict(batch_size=1, num_workers=2, shuffle_seed=7)
+    thr = PrefetchLoader(ds, np.arange(12), **kw)
+    prc = PrefetchLoader(_StubDataset(12), np.arange(12),
+                         use_processes=True, **kw)
+    assert _collect(thr.iter_steps(0), 18) == _collect(
+        prc.iter_steps(0), 18)
+
+
 def test_dataset_seed_is_process_stable():
     """__getitem__ must not use python hash() (salted per process) — the
     rng stream must be a pure function of (index, epoch, test_mode)."""

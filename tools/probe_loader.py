@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=2,
                     help="timed epochs (first epoch is warmup: page cache)")
     ap.add_argument("--workers", type=int, nargs="*", default=[0, 2, 6])
+    ap.add_argument("--use-processes", action="store_true",
+                    help="fork-pool workers instead of threads")
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--keep-dir", default=None,
                     help="reuse/keep the synthesized archive here")
@@ -64,6 +66,7 @@ def main():
     for nw in args.workers:
         loader, spe = build_train_loader(
             preset, data, args.batch_size, num_workers=nw, seed=0)
+        loader.use_processes = args.use_processes and nw > 0
         n = 0
         for _ in loader.iter_epoch(0):      # warmup: page cache, lazy init
             n += 1
