@@ -57,10 +57,6 @@ def main():
             max_voxels=65536,
             pillar_caps=pillar_caps),
         head_kwargs=dict(max_gt=128),
-        # A/B toggle; default matches the model default (off — measured
-        # neutral: 9.40 batched vs 9.42 per-agent FPS, r4)
-        coop_batched_pillars=os.environ.get(
-            "CMTCOOP_BATCHED_PILLARS", "0") != "0",
         dtype=dtype,
     )
     batch = _coop_batch(

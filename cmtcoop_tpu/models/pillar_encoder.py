@@ -88,11 +88,19 @@ class PillarConv(nn.Module):
                 out = one(tuple(a[0] for a in args))
                 return jax.tree.map(lambda o: o[None], out)
             return jax.lax.map(one, tuple(args))
-        return jax.vmap(
-            lambda f, n: pu.pillar_conv(
-                f, n, w.astype(self.dtype), self.kz, self.z_stride,
-                self.z_pad)
-        )(feats.astype(self.dtype), nbr)
+        # remat: pillar_conv's gathered im2col tiles (P, KB, Z, C) are
+        # ~10x the input rows; saving them as autodiff residuals for all
+        # 17 convs OOMed the flagship bf16 train step (26.3 GB vs 15.75,
+        # runs/tpu_probe.log r5). Recompute them in the backward instead
+        # — only (P, Z, C) inputs are saved. No-op when not taped.
+        def conv(f, w_):
+            return jax.vmap(
+                lambda ff, nb: pu.pillar_conv(
+                    ff, nb, w_.astype(self.dtype), self.kz,
+                    self.z_stride, self.z_pad)
+            )(f, nbr)
+
+        return jax.checkpoint(conv)(feats.astype(self.dtype), w)
 
 
 class PillarConvBlock(nn.Module):
@@ -387,138 +395,6 @@ def _fold_bn(bn_params, bn_stats):
     s = bn_params["scale"] * jax.lax.rsqrt(
         bn_stats["var"] + MaskedBatchNorm.epsilon)
     return s, bn_params["bias"] - bn_stats["mean"] * s
-
-
-def _subm_plan(enc: "PillarSparseEncoder", level: int):
-    """(bp, win) for a level's subm convs (mirrors the module)."""
-    if enc.subm_bp > 128 and enc.pillar_caps[level] % enc.subm_bp == 0:
-        return enc.subm_bp, enc.subm_wins[level] + (enc.subm_bp - 128)
-    return 128, enc.subm_wins[level]
-
-
-def pillar_encoder_coop(agent_vars, prebuilt, enc: PillarSparseEncoder):
-    """Agent-batched eval twin of `PillarSparseEncoder.__call__`: the A
-    agents' conv chains run as ONE fused-kernel launch per conv
-    (`fused_pillar_conv(..., agents=A)`), pipelining window DMAs across
-    the agent boundary and halving the XLA-side planning ops. Pure
-    function over bound-module variables (same pattern as
-    `models.vovnet_cf.vovnet_cf`); parity vs the module path is tested
-    (tests/test_coop_batched.py).
-
-    agent_vars: per-agent variable dicts (params/batch_stats[/prepared])
-    of the SAME encoder architecture. prebuilt: stacked pillarize outputs
-    (pcoords (A,P,2), pmask (A,P), occ (A,P,Z), feats (A,P,Z,C)).
-    Returns dense BEV (A, H/8, W/8, Z*C), torch channel-major-over-D.
-    """
-    d, h, w = enc.sparse_shape
-    pcoords, pmask, occ, x = prebuilt
-    a_n = int(pcoords.shape[0])
-    x = x.astype(enc.dtype)
-    grid = pu.PillarGrid(pcoords, pmask, (h, w), d)
-
-    def stack_site(blk, conv):
-        ws = jnp.stack(
-            [v["params"][blk][conv]["kernel"] for v in agent_vars])
-        bnn = _BN_OF[conv]
-        eff = [_fold_bn(v["params"][blk][bnn], v["batch_stats"][blk][bnn])
-               for v in agent_vars]
-        ss = jnp.stack([e[0] for e in eff])
-        bs = jnp.stack([e[1] for e in eff])
-        band = None
-        if all("prepared" in v for v in agent_vars):
-            band = jnp.stack(
-                [v["prepared"][blk][conv]["band"] for v in agent_vars])
-        return ws, ss, bs, band
-
-    def conv(blk, name, x, nbr_, *, zs=1, zp=1, subm=False, win, bp=128,
-             occ_out=None, residual=None, occ_in=None, fold_occ=False,
-             packed_shape=None, emit=False):
-        ws, ss, bs, band = stack_site(blk, name)
-        return fused_pillar_conv(
-            x, nbr_, ws, kz=3, z_stride=zs, z_pad=zp, scale=ss, bias=bs,
-            band=band, occ_out=occ_out, residual=residual, relu=True,
-            win=win, subm=subm, bp=bp, occ_in=occ_in, fold_occ=fold_occ,
-            packed_shape=packed_shape, emit_occ_lanes=emit, agents=a_n)
-
-    def vnbr(g):
-        # lax.map, not vmap: the lookup's exactness guard must stay a
-        # real branch
-        return jax.lax.map(lambda cm: pu.pillar_neighbor_map(
-            pu.PillarGrid(cm[0], cm[1], g.hw, g.z)), (g.coords, g.mask))
-
-    nbr = vnbr(grid)
-    zdim = d
-    c_in0 = x.shape[3]
-    zc0 = zdim * c_in0
-    zcp0 = -(-zc0 // 128) * 128
-    x = x.reshape(a_n, x.shape[1], zc0)
-    if zcp0 != zc0:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, zcp0 - zc0)))
-
-    bp0, win0 = _subm_plan(enc, 0)
-    x = conv("conv_input", "conv", x, nbr, subm=True, win=win0, bp=bp0,
-             occ_out=occ, packed_shape=(zdim, c_in0))
-
-    down_zpads = [1, 1, 0]
-    n_stages = len(enc.encoder_channels)
-    for i, blocks in enumerate(enc.encoder_channels):
-        ch = blocks[0]
-        n_sbb = len(blocks) - (0 if i == n_stages - 1 else 1)
-        bp_i, win_i = _subm_plan(enc, i)
-        for j in range(n_sbb):
-            last_sbb = j == n_sbb - 1 and i != n_stages - 1
-            identity = x
-            blkn = f"stage{i}_block{j}"
-            x = conv(blkn, "conv1", x, nbr, subm=True, win=win_i,
-                     bp=bp_i, occ_out=occ, packed_shape=(zdim, ch))
-            x = conv(blkn, "conv2", x, nbr, subm=True, win=win_i,
-                     bp=bp_i, occ_out=occ, residual=identity,
-                     packed_shape=(zdim, ch), emit=last_sbb)
-        if i != n_stages - 1:
-            cap = enc.pillar_caps[min(i + 1, len(enc.pillar_caps) - 1)]
-            mwin = enc.down_map_wins[i]
-
-            def one(cm, g=grid, cap=cap, mwin=mwin):
-                c, m = cm
-                og = pu.pillar_downsample_grid(
-                    pu.PillarGrid(c, m, g.hw, g.z), cap)
-                nb_ = pu.pillar_conv_neighbor_map(
-                    pu.PillarGrid(c, m, g.hw, g.z), og, window=mwin)
-                return og.coords, og.mask, nb_
-            oc, om, nbr_dn = jax.lax.map(one, (grid.coords, grid.mask))
-            oh = (grid.hw[0] + 2 - 3) // 2 + 1
-            owd = (grid.hw[1] + 2 - 3) // 2 + 1
-            out_grid = pu.PillarGrid(oc, om, (oh, owd), grid.z)
-            zp = down_zpads[i]
-            x, occ = conv(f"stage{i}_down", "conv", x, nbr_dn, zs=2,
-                          zp=zp, win=enc.down_wins[i], occ_in=occ,
-                          fold_occ=True, packed_shape=(zdim, ch))
-            grid = out_grid
-            zdim = (zdim + 2 * zp - 3) // 2 + 1
-            nbr = vnbr(grid)
-
-    # conv_out: kernel (3,1,1), stride (2,1,1), pad 0 — BEV identity map
-    p = grid.coords.shape[1]
-    ident = jnp.broadcast_to(
-        jnp.where(grid.mask, jnp.arange(p, dtype=jnp.int32)[None], p),
-        grid.mask.shape)[..., None]
-    occ_out = jax.vmap(
-        lambda o, n: pu.occ_downsample(o, n, 3, 2, 0))(occ, ident)
-    last_ch = enc.encoder_channels[-1][-1]
-    x = conv("conv_out", "conv", x, ident, zs=2, zp=0, win=512,
-             occ_out=occ_out, packed_shape=(zdim, last_ch))
-
-    zf_out = (zdim - 3) // 2 + 1
-    x = x[:, :, :zf_out * enc.output_channels].reshape(
-        a_n, p, zf_out, enc.output_channels)
-    dense = jax.vmap(
-        lambda c, m, f: pu.pillars_to_dense(
-            pu.PillarGrid(c, m, grid.hw, zf_out), f)
-    )(grid.coords, grid.mask, x)
-    b, hh, ww, zcd = dense.shape
-    c = zcd // zf_out
-    dense = dense.reshape(b, hh, ww, zf_out, c).transpose(0, 1, 2, 4, 3)
-    return dense.reshape(b, hh, ww, zcd)
 
 
 def _band_sites(enc: PillarSparseEncoder, cin0: int):

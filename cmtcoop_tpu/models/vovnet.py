@@ -94,6 +94,12 @@ class VoVNet(nn.Module):
     out_features: Sequence[str] = ("stage4", "stage5")
     input_ch: int = 3
     norm_eval: bool = True  # reference freezes BN at train (vovnet.py:381-390)
+    # per-OSA-block rematerialization for training: the reference only
+    # checkpoints decoder layers (petr_transformer.py:404-487) and trains
+    # in 22+ GB on GPUs; a 16 GB v5e needs the backbone's OSA activations
+    # recomputed too (r5 OOM finding, runs/tpu_probe.log). Safe because
+    # norm_eval freezes BN at train — blocks are pure.
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -115,8 +121,10 @@ class VoVNet(nn.Module):
             if i != 0:
                 x = _max_pool_ceil(x)
             n_blocks = spec["block_per_stage"][i]
+            osa_cls = (nn.remat(OSAModule, static_argnums=(2,))
+                       if self.remat else OSAModule)
             for b in range(n_blocks):
-                x = OSAModule(
+                x = osa_cls(
                     spec["stage_conv_ch"][i], spec["stage_out_ch"][i],
                     spec["layer_per_block"], identity=b > 0,
                     dtype=self.dtype, name=f"{name}_block{b}")(x, train)

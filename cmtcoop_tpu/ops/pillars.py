@@ -353,8 +353,15 @@ def pillar_conv(
         tiles = padded[nbr_c]  # (chunk, KB, Z+2p, Cin), contiguous rows
         x = tiles.transpose(0, 2, 1, 3).reshape(
             nbr_c.shape[0], z_in + 2 * z_pad, kb * cin)
+        # sub-f32 inputs upcast around the conv: forward numerics are
+        # IDENTICAL to the bf16-operand/preferred-f32 conv (bf16->f32 is
+        # exact, accumulation f32 either way), and the backward stays
+        # well-typed — conv's transpose rule feeds the f32 cotangent and
+        # the kernel into one conv, which rejects mixed dtypes (hit by
+        # the bf16 train step, tools/probe_train_step.py)
+        cdt = jnp.promote_types(feats.dtype, jnp.float32)
         out = jax.lax.conv_general_dilated(
-            x, w3,
+            x.astype(cdt), w3.astype(cdt),
             window_strides=(z_stride,), padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=jnp.float32,
