@@ -368,10 +368,19 @@ def pillar_conv(
             precision=precision)
         return out.astype(feats.dtype)  # (chunk, Z_out, Cout)
 
-    if p_out <= chunk or p_out % chunk != 0:
+    if p_out <= chunk:
         return conv_chunk(nbr)
-    out = jax.lax.map(conv_chunk, nbr.reshape(-1, chunk, kb))
-    return out.reshape(p_out, z_out, cout)
+    # pad the gather map to a chunk multiple with miss rows (index p_in
+    # -> the appended zero row): the lax.map loop then bounds the live
+    # im2col transient to ONE chunk's tiles. Without it a non-divisible
+    # cap fell back to a single whole-cap gather — (38400, 9, 43, 16)
+    # tiles at 4.2x layout padding were the allocations that pushed the
+    # flagship train step 78 MB over HBM (runs/tpu_probe.log r5).
+    p_pad = -(-p_out // chunk) * chunk
+    nbr_p = jnp.pad(nbr, ((0, p_pad - p_out), (0, 0)),
+                    constant_values=p_in)
+    out = jax.lax.map(conv_chunk, nbr_p.reshape(-1, chunk, kb))
+    return out.reshape(p_pad, z_out, cout)[:p_out]
 
 
 def occ_downsample(occ: jnp.ndarray, nbr: jnp.ndarray,
