@@ -93,7 +93,9 @@ def main():
     for i in range(4):
         t0 = time.time()
         state, metrics = compiled(state, batch)
-        jax.block_until_ready(metrics)
+        # force a host fetch: the axon relay's block_until_ready returns
+        # early, so a non-fetching timer measures dispatch, not the step
+        float(metrics["loss"])
         times.append(time.time() - t0)
     loss = float(metrics["loss"])
     assert np.isfinite(loss), loss
