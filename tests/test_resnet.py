@@ -9,6 +9,7 @@ from cmtcoop_tpu.models.detector import CmtDetector
 from cmtcoop_tpu.models.resnet import ResNet
 
 
+@pytest.mark.slow
 def test_resnet50_shapes(rng):
     x = jnp.asarray(rng.normal(size=(1, 64, 96, 3)).astype(np.float32))
     model = ResNet(50, ("layer3", "layer4"))

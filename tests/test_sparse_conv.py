@@ -1,5 +1,6 @@
 """Sparse conv machinery vs dense XLA conv oracles."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -106,6 +107,7 @@ def test_downsample_conv_matches_dense(rng):
         assert got == expected, (kernel, stride, padding)
 
 
+@pytest.mark.slow
 def test_sparse_encoder_shapes(rng):
     enc = SparseEncoder(
         sparse_shape=(41, 16, 16),
