@@ -31,9 +31,15 @@ jax.config.update("jax_platforms", "cpu")
 # jax build ignores the JAX_COMPILATION_CACHE_DIR env var — the explicit
 # config.update is required (verified empirically; the env-var form
 # silently cached nothing).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# CMTCOOP_NO_COMPILE_CACHE=1 disables it: this jax build SEGFAULTS
+# deserializing some large cached XLA:CPU executables (observed twice in
+# r5 on the slow tier, compilation_cache.get_executable_and_time, fresh
+# cache dir both times) — run the slow tier with the cache off until the
+# jax bug is gone. The default tier is unaffected (5:23, r5).
+if os.environ.get("CMTCOOP_NO_COMPILE_CACHE", "0") != "1":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
